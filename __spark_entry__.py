@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: the full KG pipeline (SURVEY.md §3.2) over the
+  deterministic transcript fixture (the input-hint table, FIXTURES.md §B,
+  seed=42; driver testdata carries no transcripts table), returning the
+  top-10 canonical PER/ORG entities by mention count.
+- ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+  the training-data ops (dedup / similarity / text analysis), over
+  /root/testdata parquet tables.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
+  KG/streaming entries are rows-only (checked against the single-process
+  oracle in pytest instead).
 """
 
 from __future__ import annotations
@@ -12,27 +17,37 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# importing these modules populates the registry
+import ner_spark.queries_relational  # noqa: F401
+import ner_spark.queries_text  # noqa: F401
+import ner_spark.queries_kg  # noqa: F401
+from ner_spark.registry import ORACLE_SQL, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: KG build → top-10 PER/ORG entities by mention count."""
+    from ner_spark.queries_kg import _kg_outputs
+
+    out = _kg_outputs(spark, "tiny")
+    return (
+        out["entities"]
+        .where(F.col("ner_type").isin("PER", "ORG"))
+        .orderBy(F.desc("n_mentions"), "entity_id")
+        .select(
+            "entity_id",
+            F.concat_ws("|", "aliases").alias("aliases"),
+            "ner_type",
+            "n_mentions",
+        )
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

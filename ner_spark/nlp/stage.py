@@ -1,0 +1,120 @@
+"""Fused NLP stage as a single ``mapInPandas`` over transcript turns
+(SURVEY.md §2.3, §3.2): tokenize → gazetteer BIO → feature hash → emission →
+Viterbi → span decode → sentence ctx embedding, one Arrow round-trip.
+
+Model weights and the gazetteer matcher are spark broadcasts
+(BASELINE.json:14 "broadcast of gazetteer/model weights"). The stage is
+row-parallel (all sequence dependencies live inside one turn's text), so no
+ordering or co-partitioning precondition — any partitioning of transcripts
+works, which is what lets the pipeline scale by pure repartition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ner_spark import spec
+from ner_spark.nlp import vectorized as V
+from ner_spark.nlp.model import build_model
+
+# norm_surface is computed python-side (spec.norm_surface casefolds; Spark's
+# lower() differs on ß/İ/ſ — the join key must use casefold semantics).
+MENTIONS_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, start int, end int, "
+    "surface string, norm_surface string, ner_type string, score double, "
+    "ctx_emb array<double>"
+)
+
+TOKENS_SCHEMA = (
+    "conv_id string, turn_idx int, text string, "
+    "tokens array<struct<pos:int, start:int, end:int, text:string>>"
+)
+
+_TYPES = np.array(spec.NER_TYPES, dtype=object)
+
+
+def _broadcasts(spark: SparkSession, gazetteer_pdf: pd.DataFrame):
+    sc = spark.sparkContext
+    model = build_model()
+    bc_model = sc.broadcast(
+        {
+            "WT": np.ascontiguousarray(model["W"].T),
+            "T": model["T"],
+            "start": model["start"],
+        }
+    )
+    bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
+    return bc_model, bc_gaz
+
+
+def detect_mentions(
+    transcripts: DataFrame, gazetteer_pdf: pd.DataFrame, spark: SparkSession
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, ...) → mentions DataFrame.
+
+    Column-prunes to the three needed columns before the Arrow boundary
+    (mapInPandas is an optimization barrier — SURVEY.md §4.2)."""
+    bc_model, bc_gaz = _broadcasts(spark, gazetteer_pdf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc_model.value
+        gaz = bc_gaz.value
+        for pdf in batches:
+            texts = pdf["text"].to_numpy(dtype=object)
+            men, _ = V.nlp_batch(texts, gaz, m["WT"], m["T"], m["start"])
+            rows = men["row"]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[rows],
+                    "turn_idx": pdf["turn_idx"].to_numpy()[rows].astype(np.int32),
+                    "sent_idx": men["sent_in_turn"].astype(np.int32),
+                    "start": men["start"].astype(np.int32),
+                    "end": men["end"].astype(np.int32),
+                    "surface": men["surface"],
+                    "norm_surface": [spec.norm_surface(s) for s in men["surface"]],
+                    "ner_type": _TYPES[men["type_code"]] if len(rows) else [],
+                    "score": men["score"],
+                    "ctx_emb": list(men["ctx"]),
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, MENTIONS_SCHEMA
+    )
+
+
+def tokens_table(transcripts: DataFrame) -> DataFrame:
+    """Token materialization for the byte-identity contract (A7/B12)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["text"].to_numpy(dtype=object)
+            tok = V.tokenize_batch(texts)
+            row = tok["row"]
+            out_tokens: list[list[dict]] = [[] for _ in range(len(pdf))]
+            for k in range(len(row)):
+                r = row[k]
+                out_tokens[r].append(
+                    {
+                        "pos": len(out_tokens[r]),
+                        "start": int(tok["start"][k]),
+                        "end": int(tok["end"][k]),
+                        "text": tok["text"][k],
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"].astype(np.int32),
+                    "text": pdf["text"],
+                    "tokens": out_tokens,
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, TOKENS_SCHEMA
+    )

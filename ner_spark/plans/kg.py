@@ -1,0 +1,158 @@
+"""End-to-end batch KG pipeline (SURVEY.md §3.2), with per-stage
+materialization, per-partition lineage + metrics, and idempotent resume
+(SURVEY.md §4.5; BASELINE.json:14).
+
+Stage graph:
+  transcripts → [repartition by conv_id] → fused NLP mapInPandas → mentions
+  → B1 broadcast gazetteer join → B2 link-score join (AQE skew) → B13 top-1
+  → links → B3/B11 coref edges → B10 iterative CC → canonical map
+  → B5 triples (REL/COOC pairs + TOOL as-of) → canonicalized triples
+  → B8 entity aggregation.
+
+When ``warehouse`` is given, each stage commits to
+``{warehouse}/{stage}`` with a manifest (run_id) and a lineage row set;
+on resume, completed stages are read back instead of recomputed — the
+kill-and-rerun test in tests/test_resume.py relies on this.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark import io as nio
+from ner_spark.nlp.stage import detect_mentions
+from ner_spark.operators.coref import canonical_map, coref_edges
+from ner_spark.operators.linking import gazetteer_norm, link_mentions
+from ner_spark.operators.triples import (
+    canonicalize_triples,
+    rel_cooc_triples,
+    tool_triples,
+)
+
+LINEAGE_COLS = ["run_id", "stage", "partition_id", "n_rows", "checksum", "completed_at"]
+
+
+def lineage_rows(df: DataFrame, run_id: str, stage: str) -> pd.DataFrame:
+    """Per-partition row counts + order-insensitive checksum (A6)."""
+    agg = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.xxhash64(*df.columns)).alias("checksum"),
+        )
+        .toPandas()
+    )
+    agg.insert(0, "stage", stage)
+    agg.insert(0, "run_id", run_id)
+    agg["completed_at"] = time.time()
+    return agg[LINEAGE_COLS]
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        gazetteer_pdf: pd.DataFrame,
+        entity_embeddings: DataFrame,
+        warehouse: str | None = None,
+        run_id: str = "r0",
+        resume: bool = True,
+        n_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.gaz_pdf = gazetteer_pdf
+        self.emb = entity_embeddings
+        self.warehouse = warehouse
+        self.run_id = run_id
+        self.resume = resume
+        self.n_partitions = n_partitions
+        self.lineage: list[pd.DataFrame] = []
+
+    # -- stage materialization protocol (§4.5) -------------------------------
+    def _stage(self, name: str, build, partition_by=None) -> DataFrame:
+        if not self.warehouse:
+            return build()
+        path = os.path.join(self.warehouse, name)
+        if self.resume and nio.table_complete(path, self.run_id):
+            return nio.read_table(self.spark, path)
+        df = build()
+        nio.write_table(df, path, partition_by=partition_by, run_id=self.run_id)
+        out = nio.read_table(self.spark, path)
+        self.lineage.append(lineage_rows(out, self.run_id, name))
+        self._flush_lineage()
+        return out
+
+    def _flush_lineage(self) -> None:
+        if self.warehouse and self.lineage:
+            pd.concat(self.lineage).to_parquet(
+                os.path.join(self.warehouse, f"lineage_{self.run_id}.parquet"),
+                index=False,
+            )
+
+    # -- pipeline -------------------------------------------------------------
+    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+        spark = self.spark
+        tx = transcripts
+        if self.n_partitions:
+            # explicit partitioning by conv_id [B:14]; the NLP stage is
+            # row-parallel so this mainly sizes the Arrow batches and
+            # co-locates later per-conversation windows
+            tx = tx.repartition(self.n_partitions, "conv_id")
+
+        mentions = self._stage(
+            "mentions", lambda: detect_mentions(tx, self.gaz_pdf, spark)
+        )
+        gaz_n = gazetteer_norm(spark, self.gaz_pdf)
+        links = self._stage(
+            "links", lambda: link_mentions(mentions, gaz_n, self.emb)
+        )
+        edges = self._stage("edges", lambda: coref_edges(links))
+        canon = self._stage("entities_canon", lambda: canonical_map(links, edges))
+        triples = self._stage(
+            "triples",
+            lambda: canonicalize_triples(
+                rel_cooc_triples(links, tx).unionByName(
+                    tool_triples(links, tx, self.gaz_pdf, spark)
+                ),
+                canon,
+            ),
+        )
+        entities = self._stage(
+            "entities",
+            lambda: links.join(F.broadcast(canon), "entity_id")
+            .groupBy(F.col("canonical_id").alias("entity_id"))
+            .agg(
+                F.array_sort(F.collect_set("norm_surface")).alias("aliases"),
+                F.count(F.lit(1)).alias("n_mentions"),
+                F.mode("ner_type").alias("ner_type"),
+            ),
+        )
+        return {
+            "mentions": mentions,
+            "links": links,
+            "edges": edges,
+            "canon": canon,
+            "triples": triples,
+            "entities": entities,
+        }
+
+
+def build_kg(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    entity_embeddings: DataFrame,
+    warehouse: str | None = None,
+    run_id: str = "r0",
+    resume: bool = True,
+    n_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    return KGPipeline(
+        spark, gazetteer_pdf, entity_embeddings, warehouse, run_id, resume,
+        n_partitions,
+    ).run(transcripts)

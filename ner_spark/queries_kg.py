@@ -1,0 +1,106 @@
+"""KG-pipeline and streaming queries for the driver harness.
+
+These are the non-SQL-expressible entries (sql=None → the driver records a
+rows-only check): the full KG pipeline over the deterministic transcript
+fixture (the driver testdata has no transcripts table — the input-hint
+table is synthesized per FIXTURES.md §B, seed=42), and one Structured
+Streaming query run with trigger(availableNow) over the same fixture.
+
+They are nevertheless pytest-verified against the single-process oracle
+(tests/test_contract.py) — a stronger check than the SQL differential.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fixtures.gen import ensure_fixture_dir
+from ner_spark.registry import register
+
+_CACHE: dict[str, dict] = {}
+
+
+def _kg_outputs(spark, size: str = "small"):
+    key = f"{size}@{id(spark)}"
+    if key not in _CACHE:
+        from ner_spark.plans.kg import build_kg
+
+        d = ensure_fixture_dir(size)
+        _CACHE[key] = build_kg(
+            spark,
+            spark.read.parquet(f"{d}/transcripts.parquet"),
+            pd.read_parquet(f"{d}/gazetteer.parquet"),
+            spark.read.parquet(f"{d}/entity_embeddings.parquet"),
+        )
+    return _CACHE[key]
+
+
+@register("kg_mentions")
+def kg_mentions(spark, sf):
+    """A7–A11: fused NLP stage output (rows-only; oracle-checked in pytest)."""
+    return _kg_outputs(spark).get("mentions").drop("ctx_emb")
+
+
+@register("kg_links")
+def kg_links(spark, sf):
+    """B1/B2/B13: linked mentions."""
+    return _kg_outputs(spark).get("links")
+
+
+@register("kg_entities_canonical")
+def kg_entities_canonical(spark, sf):
+    """B10: connected-components canonical map."""
+    return _kg_outputs(spark).get("canon")
+
+
+@register("kg_triples")
+def kg_triples(spark, sf):
+    """B5: the flagship (subj, pred, obj) triples."""
+    return _kg_outputs(spark).get("triples")
+
+
+@register("kg_entity_rollup")
+def kg_entity_rollup(spark, sf):
+    """B8: canonical-entity aggregation (aliases, mention counts, type)."""
+    e = _kg_outputs(spark).get("entities")
+    return e.select(
+        "entity_id",
+        F.concat_ws("|", "aliases").alias("aliases"),
+        "n_mentions",
+        "ner_type",
+    )
+
+
+@register("stream_windowed_mentions")
+def stream_windowed_mentions(spark, sf):
+    """S1/S2/S5/S6: streaming ingest of the transcripts fixture with
+    watermark + 10-minute tumbling windows over turn event time, dedup
+    within watermark, availableNow trigger (batch-parity mode)."""
+    d = ensure_fixture_dir("small")
+    static = spark.read.parquet(f"{d}/transcripts.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "role", "n_turns")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .format("memory")
+            .queryName("stream_windowed_mentions")
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table("stream_windowed_mentions")

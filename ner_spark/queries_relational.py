@@ -1,0 +1,801 @@
+"""Layer-C relational operator sweep (SURVEY.md §2.2, §2.4–§2.8) over the
+driver testdata tables, each differentially tested against DuckDB.
+
+Every query names the SURVEY operator row it covers. DataFrame-first:
+Catalyst handles pushdown/pruning/join selection; hints only where the
+operator row *is* the hint (broadcast, shuffle_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ner_spark.operators.relational import asof_join
+from ner_spark.registry import register, t
+
+# ---------------------------------------------------------------------------
+# scans / projection / filters (C1, C3, C4, C5, C6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_filter_pushdown",
+    """
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def proj_filter_pushdown(spark, sf):
+    """C3/C4: projection + predicate pushed to the parquet scan."""
+    return (
+        t(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.02, 0.06)
+        )
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+@register(
+    "dedup_hygiene",
+    """
+    SELECT DISTINCT l_orderkey, l_linenumber
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    """,
+)
+def dedup_hygiene(spark, sf):
+    """C5: dropna + dropDuplicates."""
+    return (
+        t(spark, sf, "lineitem")
+        .dropna(subset=["l_quantity"])
+        .select("l_orderkey", "l_linenumber")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+    )
+
+
+@register(
+    "conditional_recode",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           ROUND(o_totalprice / 1000.0, 6) AS price_k
+    FROM orders
+    """,
+)
+def conditional_recode(spark, sf):
+    """C6: when/otherwise conditional expressions."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.round(F.col("o_totalprice") / 1000.0, 6).alias("price_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations (C15–C20, B7/B9 shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 1) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 1) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf):
+    """C15 hash aggregate (TPC-H Q1 shape): partial+final agg, pushdown."""
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark, sf):
+    """C16: exact distinct aggregation (expand + two-phase agg)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 1) AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark, sf):
+    """C17: rollup."""
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 1).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_counts(spark, sf):
+    """C17: cube."""
+    return (
+        t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def grouping_sets(spark, sf):
+    """C17: explicit grouping sets (SQL path exercises the same plan)."""
+    c = t(spark, sf, "customer")
+    c.createOrReplaceTempView("__c_gs")
+    return c.sparkSession.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM __c_gs GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles(spark, sf):
+    """C18: exact percentiles (interpolated, both engines)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        )
+    )
+
+
+@register(
+    "histogram_buckets",
+    """
+    SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000), 0), 9) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_buckets(spark, sf):
+    """C18: histogram via explicit bucket arithmetic (engine-neutral)."""
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.least(F.greatest(F.floor(F.col("o_totalprice") / 50000), F.lit(0)), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark, sf):
+    """C20: pivot."""
+    p = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "collect_ordered",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def collect_ordered(spark, sf):
+    """C19: deterministic ordered collect_list via array_sort(struct)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+            lambda s: s["o_orderkey"],
+        ).alias("order_keys")
+    )
+
+
+@register(
+    "salted_two_level_agg",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 6) AS spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def salted_two_level_agg(spark, sf):
+    """B9: salted two-level aggregation — partial agg on (key, salt), final
+    on key; result must equal the plain groupBy (the salting is transparent)."""
+    o = t(spark, sf, "orders").withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(8))
+    )
+    partial = o.groupBy("o_custkey", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("ps")
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").alias("n_orders"), F.round(F.sum("ps"), 6).alias("spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (C7–C14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast",
+    """
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark, sf):
+    """C7: broadcast hash join (explicit hint on the small dim)."""
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "join_sort_merge",
+    """
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 1) AS revenue,
+           COUNT(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_sort_merge(spark, sf):
+    """C8: big⋈big equi join (sort-merge above broadcast threshold)."""
+    o = t(spark, sf, "orders").hint("merge")
+    li = t(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(AVG(o.o_totalprice), 4) AS avg_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark, sf):
+    """C9: shuffled hash join via hint (skips the sort)."""
+    c = t(spark, sf, "customer").hint("shuffle_hash")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf):
+    """C13: left-semi join."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark, sf):
+    """C13: left-anti join."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT COALESCE(a.k, b.k) AS nationkey,
+           COALESCE(a.n_cust, 0) AS n_cust, COALESCE(b.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf):
+    """C14: full outer join."""
+    c = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_theta_bnlj",
+    """
+    SELECT r.r_name, COUNT(*) AS n_higher
+    FROM region r JOIN nation n ON n.n_regionkey > r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_theta_bnlj(spark, sf):
+    """C10: non-equi theta join (broadcast nested loop)."""
+    r = t(spark, sf, "region")
+    n = t(spark, sf, "nation")
+    return (
+        r.join(n, n.n_regionkey > r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_higher"))
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT b.bucket, COUNT(*) AS n, ROUND(SUM(e.value), 6) AS total
+    FROM events e
+    JOIN (SELECT CAST(UNNEST(generate_series(0, 19)) AS BIGINT) AS bucket) b
+      ON e.value >= b.bucket * 50 AND e.value < (b.bucket + 1) * 50
+    GROUP BY b.bucket
+    """,
+)
+def join_range(spark, sf):
+    """C11: range/interval join against generated buckets."""
+    e = t(spark, sf, "events")
+    b = e.sparkSession.range(0, 20).select(F.col("id").alias("bucket"))
+    return (
+        e.join(
+            F.broadcast(b),
+            (e.value >= b.bucket * 50) & (e.value < (b.bucket + 1) * 50),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+    )
+
+
+@register(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, p.last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof(spark, sf):
+    """C12: as-of join (latest purchase at-or-before each click) via the
+    union+window trick; oracle uses DuckDB's native ASOF JOIN."""
+    e = t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["last_purchase_value"]
+    ).select("user_id", "event_id", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# windows / sorts / limits / set ops (C21–C25)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topk",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def window_rank_topk(spark, sf):
+    """C21/C23: per-group top-k via row_number with deterministic tiebreak."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_ranks",
+    """
+    SELECT o_orderkey,
+           RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ranks(spark, sf):
+    """C21: rank / dense_rank / ntile."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(W.orderBy(F.desc("o_totalprice"), "o_orderkey")).alias("rnk"),
+        F.dense_rank()
+        .over(W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("drnk"),
+        F.ntile(4).over(W.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
+    )
+
+
+@register(
+    "window_running",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_total,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sliding_avg
+    FROM events
+    """,
+)
+def window_running(spark, sf):
+    """C22: frame-spec running + sliding aggregates."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 6).alias(
+            "running_total"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("sliding_avg"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+           LEAD(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf):
+    """C22/B14: lag/lead turn-context shape."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark, sf):
+    """C23/C24: global top-k (TakeOrderedAndProject — no full sort)."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 5
+    """,
+)
+def sort_limit_offset(spark, sf):
+    """C24: sort / limit / offset."""
+    return (
+        t(spark, sf, "orders").orderBy("o_orderkey").select("o_orderkey").offset(5).limit(20)
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT k, 'both' AS src FROM
+      (SELECT n_nationkey AS k FROM nation
+       INTERSECT SELECT c_nationkey AS k FROM customer)
+    UNION ALL
+    SELECT k, 'nation_only' AS src FROM
+      (SELECT n_nationkey AS k FROM nation
+       EXCEPT SELECT c_nationkey AS k FROM customer)
+    """,
+)
+def set_ops(spark, sf):
+    """C25: intersect / except / union."""
+    n = t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").cast("bigint").alias("k"))
+    both = n.intersect(c).withColumn("src", F.lit("both"))
+    only = n.exceptAll(c.distinct()).withColumn("src", F.lit("nation_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars2,
+           UPPER(SUBSTRING(text, 1, 10)) AS head10,
+           levenshtein(lang, 'en') AS lang_dist,
+           REGEXP_REPLACE(text, '[aeiou]', '', 'g') AS devowelled,
+           CONCAT_WS('|', lang, source) AS tag,
+           MD5(text) AS text_md5
+    FROM documents
+    """,
+)
+def string_funcs(spark, sf):
+    """§2.8 strings: length/substr/upper/levenshtein/regexp/concat_ws/md5."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars2"),
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devowelled"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT event_id,
+           date_trunc('month', ts) AS month_start,
+           CAST(extract(year FROM ts) AS INT) AS yr,
+           CAST(extract(hour FROM ts) AS INT) AS hr,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_sec
+    FROM events
+    """,
+)
+def date_funcs(spark, sf):
+    """§2.8 date/time: trunc/extract/unix."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.year("ts").alias("yr"),
+        F.hour("ts").alias("hr"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT o_orderkey,
+           ROUND(LN(o_totalprice), 6) AS log_price,
+           ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+           ROUND(POW(o_totalprice / 100000, 2), 6) AS sq_ratio,
+           ABS(CAST(o_custkey AS BIGINT) - 1000) AS key_dist
+    FROM orders
+    """,
+)
+def math_funcs(spark, sf):
+    """§2.8 math: log/sqrt/pow/abs."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.log("o_totalprice"), 6).alias("log_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 6).alias("sq_ratio"),
+        F.abs(F.col("o_custkey").cast("bigint") - 1000).alias("key_dist"),
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim
+    FROM embeddings
+    """,
+)
+def array_funcs(spark, sf):
+    """§2.8 arrays: size/aggregate/transform/element_at on vectors."""
+    e = t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_dim"),
+    )
+
+
+@register(
+    "json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_funcs(spark, sf):
+    """§2.8 JSON: extraction from the props payload."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.when(F.get_json_object("props", "$.k").cast("bigint") > 50, "high")
+        .otherwise("low")
+        .alias("k_band"),
+    )

@@ -1,0 +1,523 @@
+"""Training-data pipeline operators over documents/embeddings (task brief:
+dedup, similarity search, text analysis), each DuckDB-differential.
+
+Cross-engine determinism notes:
+- all hashing goes through MD5 hex strings (identical in Spark and DuckDB);
+  MinHash signatures are lexicographic minima of salted MD5 hex strings;
+  SimHash bits come from hex-digit comparisons — no engine-specific hash;
+- shingling uses split-on-space (document texts are single-spaced);
+- float scores are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ner_spark.registry import register, t
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                 len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf):
+    """Token counting: whitespace tokens, type count, avg token length."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           ROUND(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LENGTH(text), 6) AS space_ratio,
+           CASE WHEN n_tok BETWEEN 20 AND 400
+                 AND CAST(n_stop AS DOUBLE) / n_tok > 0.01
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf):
+    """Quality scoring: length band + stopword ratio filter (Gopher-style
+    heuristics, engine-neutral arithmetic)."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    s = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+        ).alias("n_stop"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tok"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text"),
+            6,
+        ).alias("space_ratio"),
+        F.when(
+            F.col("n_tok").between(20, 400)
+            & (F.col("n_stop").cast("double") / F.col("n_tok") > 0.01),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(toks, w -> w IN ('the','a','key','order')))
+                     >= len(list_filter(toks, w -> w IN ('data','row','line')))
+                THEN 'latin_a' ELSE 'latin_b' END AS guessed_family
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf):
+    """Language-ID heuristic shape: marker-vocabulary vote (the synthetic
+    corpus is English-soup, so the 'languages' are marker families)."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    na = F.size(F.filter(toks, lambda w: w.isin("the", "a", "key", "order")))
+    nb = F.size(F.filter(toks, lambda w: w.isin("data", "row", "line")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(na >= nb, "latin_a").otherwise("latin_b").alias("guessed_family"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT MD5(CONCAT(lang, ':', text)) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
+    """,
+)
+def text_fingerprint(spark, sf):
+    """Document fingerprinting: content hash → duplicate groups."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select(F.md5(F.concat_ws(":", "lang", "text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text_md5, COUNT(*) AS n_dups,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM (SELECT doc_id, MD5(text) AS text_md5 FROM documents)
+    GROUP BY text_md5 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content hash, keep duplicate groups."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# word-3-gram shingles as 'w1 w2 w3' strings — shared shape for jaccard/minhash
+_SHINGLE_SQL = """
+      SELECT doc_id, list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 1)
+             ]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+"""
+
+
+def _shingles_df(spark, sf):
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        d.where(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("shingles"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pair_common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_common AS DOUBLE) /
+                 (sa.n + sb.n - p.n_common), 6) AS jaccard
+    FROM pair_common p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Near-dup via word-3-gram Jaccard >= 0.6: shingle-join candidate pairs
+    (no O(n^2) cross join), exact set arithmetic."""
+    sh = _shingles_df(spark, sf)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pc = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pc.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(j >= 0.6)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id, b.band,
+             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
+      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, b.band)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_band_hits
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup: 8 salted-MD5 minhashes (bands of 1), candidate
+    pairs = docs colliding in >= 2 bands. Engine-neutral hashing via MD5."""
+    sh = _shingles_df(spark, sf)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bands = ex.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        ex.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("s")))).alias("minhash"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+        .where(F.col("n_band_hits") >= 2)
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH ex AS (
+      SELECT doc_id, MD5(UNNEST(string_split(text, ' '))) AS h FROM documents),
+    bits AS (
+      SELECT doc_id, p.i,
+             SUM(CASE WHEN SUBSTRING(h, p.i, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS w
+      FROM ex, (SELECT UNNEST(generate_series(1, 16)) AS i) p
+      GROUP BY doc_id, p.i)
+    SELECT doc_id,
+           string_agg(CASE WHEN w >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY i) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf):
+    """SimHash-16 signature: per-token MD5, bit i = sign of sum over tokens
+    of +/-1 by hex digit i — identical string arithmetic in both engines."""
+    d = t(spark, sf, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    pos = d.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("i"))
+    bits = (
+        ex.crossJoin(F.broadcast(pos))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    F.substring("h", F.col("i"), F.lit(1)).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: F.when(s["w"] >= 0, "1").otherwise("0"),
+            ),
+        ).alias("simhash16")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) *
+                      CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) > 0.6
+    """,
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup: same-label blocking (IVF-style partition
+    pruning), cosine > 0.6; sampled 1-in-5 to bound the pair count."""
+    e = t(spark, sf, "embeddings").where(F.col("vec_id") % 5 == 0)
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.select("vec_id", "label", "embedding", F.sqrt(dot_self).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos > 0.6)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) *
+                        CAST(e.embedding[i] AS DOUBLE)))
+                   / (q.nrm * e.nrm), 9) AS cos_sim
+      FROM q JOIN e ON q.vec_id <> e.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def ann_topk_bruteforce(spark, sf):
+    """Brute-force cosine top-k (the exactness baseline for ANN): query
+    vectors vs all, row_number top-3 with 9-decimal rank rounding so the
+    two engines rank identically."""
+    e = t(spark, sf, "embeddings")
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
+    q = e.where(F.col("vec_id") < 5)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"), F.col("e.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.alias("q")
+        .join(F.broadcast(e.alias("e")), F.col("q.vec_id") != F.col("e.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("q.nrm") * F.col("e.nrm")), 9).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             CONCAT(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[16] > 0 THEN '1' ELSE '0' END) AS bucket,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) *
+                        CAST(e.embedding[i] AS DOUBLE)))
+                   / (q.nrm * e.nrm), 9) AS cos_sim
+      FROM q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf):
+    """LSH-bucketed ANN (the scale path): sign-bucket on 3 fixed dims →
+    equi-join within bucket only (prunes ~7/8 of comparisons), then local
+    top-3. At cluster scale the bucket key is the shuffle/partition key."""
+    e = t(spark, sf, "embeddings")
+    def sign_bit(i):
+        return F.when(F.element_at("embedding", i) > 0, "1").otherwise("0")
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.select(
+        "vec_id",
+        "embedding",
+        F.concat(sign_bit(1), sign_bit(8), sign_bit(16)).alias("bucket"),
+        F.sqrt(dot_self).alias("nrm"),
+    )
+    q = e.where(F.col("vec_id") < 20)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"), F.col("e.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.alias("q")
+        .join(
+            e.alias("e"),
+            (F.col("q.bucket") == F.col("e.bucket"))
+            & (F.col("q.vec_id") != F.col("e.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("q.nrm") * F.col("e.nrm")), 9).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )

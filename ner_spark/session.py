@@ -1,0 +1,46 @@
+"""SparkSession factory with the configs the pipeline relies on.
+
+AQE (incl. skew-join split), Arrow for pandas UDFs, Python worker reuse,
+UTC session timezone. Local mode for the sandbox; on a real cluster the same
+builder is driven by spark-submit --master/--py-files (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # text-heavy rows: keep Arrow batches ~tens of MB (SURVEY.md §4.2)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.python.worker.reuse": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app: str = "ner-spark",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = SparkSession.builder.master(master or f"local[{cpus}]").appName(app)
+    conf = dict(DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else max(32, int(cpus))
+    )
+    if extra:
+        conf.update(extra)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

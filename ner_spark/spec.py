@@ -130,6 +130,16 @@ def emb_index_sign(h: int) -> tuple[int, float]:
     return h % EMB_DIM, (1.0 if (h >> 32) & 1 else -1.0)
 
 
+def cosine64(a, b) -> float:
+    """The binding cosine arithmetic: float64 np.dot of unit vectors.
+
+    Both implementations must call exactly this (same accumulation order →
+    bit-identical scores before rounding)."""
+    import numpy as np
+
+    return float(np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64)))
+
+
 GAZ_SCORE_EXACT = 1.0
 LINK_W_GAZ = 0.5
 LINK_W_EMB = 0.5

@@ -124,7 +124,7 @@ def token_features(toks: list[str], gaz_tags: list[str]) -> list[list[int]]:
 
 
 def viterbi(emissions: np.ndarray, T: np.ndarray, start: np.ndarray) -> list[int]:
-    """Naive per-sentence Viterbi. emissions: (n, L) float32."""
+    """Naive per-sentence Viterbi. emissions: (n, L) float64."""
     n, L = emissions.shape
     dp = start.astype(np.float64) + emissions[0]
     back = np.zeros((n, L), dtype=np.int64)
@@ -229,7 +229,9 @@ def run_pipeline(
             offsets = [(s, e) for s, e, _ in sent]
             gtags = gaz_bio(toks, phrases)
             feats = token_features(toks, gtags)
-            em = np.stack([W[:, f].sum(axis=1) for f in feats]).astype(np.float32)
+            # float64 accumulation: order-independent to ~1e-16, so the
+            # vectorized engine's different add order is bit-compatible
+            em = np.stack([W[:, f].sum(axis=1, dtype=np.float64) for f in feats])
             path = viterbi(em, T, start)
             tags = [spec.LABELS[p] for p in path]
             margins = [float(em[t, path[t]] - em[t, o_idx]) for t in range(len(toks))]
@@ -245,8 +247,9 @@ def run_pipeline(
                     }
                 )
                 mid += 1
+            base = len(flat_tokens)
             flat_tokens.extend(
-                {"pos": len(flat_tokens) + k, "start": s, "end": e, "text": t}
+                {"pos": base + k, "start": s, "end": e, "text": t}
                 for k, (s, e, t) in enumerate(sent)
             )
         token_rows.append(
@@ -271,7 +274,7 @@ def run_pipeline(
         ctx = ctx_embedding(list(r.sent_tokens))
         best = None
         for eid, _t in cands:
-            cos = float(np.dot(ctx, emb[eid])) if eid in emb else 0.0
+            cos = spec.cosine64(ctx, emb[eid]) if eid in emb else 0.0
             score = round(spec.LINK_W_GAZ * spec.GAZ_SCORE_EXACT
                           + spec.LINK_W_EMB * cos, spec.SCORE_NDIGITS)
             if best is None or score > best[0] or (score == best[0] and eid < best[1]):
