@@ -14,7 +14,16 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# driver may import this file from any CWD; make the repo importable for the
+# driver process and (via PYTHONPATH) freshly-spawned python workers
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +37,10 @@ from ner_spark.registry import ORACLE_SQL, QUERIES
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: KG build → top-10 PER/ORG entities by mention count."""
+    from ner_spark.deploy import ensure_py_files
     from ner_spark.queries_kg import _kg_outputs
+
+    ensure_py_files(spark)
 
     out = _kg_outputs(spark, "tiny")
     return (

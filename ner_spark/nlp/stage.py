@@ -78,7 +78,9 @@ def detect_mentions(
                     "norm_surface": [spec.norm_surface(s) for s in men["surface"]],
                     "ner_type": _TYPES[men["type_code"]] if len(rows) else [],
                     "score": men["score"],
-                    "ctx_emb": list(men["ctx"]),
+                    # dtype=object: an all-empty batch must not default to
+                    # float64 (Arrow can't convert that to list<double>)
+                    "ctx_emb": pd.Series(list(men["ctx"]), dtype=object),
                 }
             )
 

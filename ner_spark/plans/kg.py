@@ -43,7 +43,9 @@ def lineage_rows(df: DataFrame, run_id: str, stage: str) -> pd.DataFrame:
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.xxhash64(*df.columns)).alias("checksum"),
+            # bit_xor: order-insensitive and overflow-free under ANSI mode
+            # (SUM(xxhash64) throws ARITHMETIC_OVERFLOW on Spark 4)
+            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
         )
         .toPandas()
     )
@@ -64,6 +66,9 @@ class KGPipeline:
         resume: bool = True,
         n_partitions: int | None = None,
     ):
+        from ner_spark.deploy import ensure_py_files
+
+        ensure_py_files(spark)
         self.spark = spark
         self.gaz_pdf = gazetteer_pdf
         self.emb = entity_embeddings
@@ -88,11 +93,15 @@ class KGPipeline:
         return out
 
     def _flush_lineage(self) -> None:
-        if self.warehouse and self.lineage:
-            pd.concat(self.lineage).to_parquet(
-                os.path.join(self.warehouse, f"lineage_{self.run_id}.parquet"),
-                index=False,
-            )
+        if not (self.warehouse and self.lineage):
+            return
+        path = os.path.join(self.warehouse, f"lineage_{self.run_id}.parquet")
+        new = pd.concat(self.lineage)
+        if os.path.exists(path):
+            # resume: keep lineage of stages that were not recomputed
+            old = pd.read_parquet(path)
+            new = pd.concat([old[~old.stage.isin(set(new.stage))], new])
+        new.to_parquet(path, index=False)
 
     # -- pipeline -------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:

@@ -27,7 +27,16 @@ ORACLE_SQL: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ship repo packages to python workers (driver CWD–independent)
+            from ner_spark.deploy import ensure_py_files
+
+            ensure_py_files(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn
