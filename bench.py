@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode (what the driver runs):
+    python bench.py
+  - KG pipeline end-to-end (all stages materialized to a temp warehouse —
+    the production path of SURVEY.md §3.2) over the deterministic synthetic
+    transcript fixture sized to match $SPARK_GRAFT_SF_DIR (sf0.1 → ~0.9M
+    turns), on local[$SPARK_GRAFT_CPUS].
+  - A representative subset of Layer-C queries over $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1), each forced through the `noop` sink so
+    the full plan executes without driver-side collect cost.
+  - Prints ONE JSON line:
+      {"metric": ..., "value": total_sec, "unit": "sec",
+       "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Scaling mode (north rule: throughput efficiency >= 0.8 between N and 4N):
+    python bench.py --scaling
+  Runs the KG job twice in FRESH JVMs (subprocess per master) at local[8]
+  and local[32] on the same input, computes
+      eff = (throughput_32 / throughput_8) / 4
+  and appends the measured table to BENCH/BASELINE.md.
+
+Internal single-run mode (used by --scaling):
+    python bench.py --kg-only --master local[8] --json-out /tmp/x.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# sf → synthetic-transcript fixture size (fixtures/gen.py SIZES)
+_SF_TO_KG_SIZE = [(0.1, "bench"), (0.01, "eval"), (0.0, "small")]
+
+# headline Layer-C queries (registry names) run over the sf dir
+HEADLINE = [
+    "pricing_summary",
+    "join_broadcast",
+    "join_sort_merge",
+    "join_asof",
+    "salted_two_level_agg",
+    "window_rank_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _kg_size(sf: float) -> str:
+    override = os.environ.get("SPARK_GRAFT_KG_SIZE")
+    if override:
+        return override
+    for lo, size in _SF_TO_KG_SIZE:
+        if sf >= lo:
+            return size
+    return "small"
+
+
+def _force(df) -> None:
+    """Execute the full plan; no rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_kg(spark, size: str) -> dict:
+    """End-to-end KG build with per-stage materialization (production path)."""
+    import pandas as pd
+
+    from fixtures.gen import ensure_fixture_dir
+    from ner_spark.plans.kg import build_kg
+
+    d = ensure_fixture_dir(size)
+    tx = spark.read.parquet(f"{d}/transcripts.parquet")
+    n_turns = tx.count()  # parquet metadata count — not part of the timed run
+    warehouse = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        t0 = time.perf_counter()
+        out = build_kg(
+            spark,
+            tx,
+            pd.read_parquet(f"{d}/gazetteer.parquet"),
+            spark.read.parquet(f"{d}/entity_embeddings.parquet"),
+            warehouse=warehouse,
+            run_id="bench",
+            resume=False,
+            n_partitions=max(128, 4 * CPUS),
+        )
+        n_triples = out["triples"].count()  # reads the materialized stage
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+    return {
+        "size": size,
+        "turns": n_turns,
+        "triples": n_triples,
+        "sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None, help="override spark master")
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    a = ap.parse_args()
+
+    if a.scaling:
+        run_scaling()
+        return
+
+    from ner_spark.session import get_spark
+
+    sf = _sf_of(a.sf_dir)
+    spark = get_spark(master=a.master, app="ner-spark-bench")
+    timings: dict[str, float] = {}
+
+    t_all = time.perf_counter()
+    kg = run_kg(spark, _kg_size(sf))
+    timings["kg_pipeline"] = kg["sec"]
+
+    if not a.kg_only:
+        import ner_spark.queries_relational  # noqa: F401
+        import ner_spark.queries_text  # noqa: F401
+        from ner_spark.registry import QUERIES
+
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _force(QUERIES[name](spark, a.sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    result = {
+        "metric": "kg_pipeline+headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg": kg,
+        "master": a.master or f"local[{CPUS}]",
+    }
+    line = json.dumps(result)
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            f.write(line)
+    print(line)
+    spark.stop()
+
+
+def run_scaling() -> None:
+    """KG job at local[8] vs local[32] in fresh JVMs; efficiency to BENCH/."""
+    results = {}
+    for n in (8, 32):
+        out = os.path.join(tempfile.gettempdir(), f"kg_scale_{n}.json")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        subprocess.run(
+            [sys.executable, os.path.join(_ROOT, "bench.py"),
+             "--kg-only", "--master", f"local[{n}]", "--json-out", out],
+            check=True, env=env,
+        )
+        with open(out) as f:
+            results[n] = json.load(f)["kg"]
+    thr8 = results[8]["turns_per_sec"]
+    thr32 = results[32]["turns_per_sec"]
+    eff = round((thr32 / thr8) / 4, 3)
+    summary = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": eff,
+        "unit": "ratio",
+        "local8": results[8],
+        "local32": results[32],
+    }
+    os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
+    md = os.path.join(_ROOT, "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(
+            "\n## Scaling run ({})\n\n"
+            "| master | turns | triples | wall (s) | turns/s | triples/s |\n"
+            "| --- | --- | --- | --- | --- | --- |\n".format(
+                time.strftime("%Y-%m-%d %H:%M:%S")
+            )
+        )
+        for n in (8, 32):
+            r = results[n]
+            f.write(
+                f"| local[{n}] | {r['turns']} | {r['triples']} | {r['sec']} "
+                f"| {r['turns_per_sec']} | {r['triples_per_sec']} |\n"
+            )
+        f.write(
+            f"\nScaling efficiency (thr_32/thr_8)/4 = **{eff}** "
+            f"(target >= 0.8; same input, fresh JVM per run).\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -312,6 +312,20 @@ def materialize(out_dir: str, size: str = "small", seed: int = 42) -> dict[str, 
     return paths
 
 
+def ensure_stream_dir(size: str, root: str = "/root/repo/data", n_files: int = 4) -> str:
+    """Transcripts-only directory split into n_files parquet parts — the
+    file-stream source needs a directory, and several files exercise
+    multi-micro-batch processing (maxFilesPerTrigger)."""
+    d = ensure_fixture_dir(size, root)
+    sd = os.path.join(d, "stream")
+    if not os.path.exists(os.path.join(sd, f"part-{n_files - 1:03d}.parquet")):
+        os.makedirs(sd, exist_ok=True)
+        df = pd.read_parquet(os.path.join(d, "transcripts.parquet"))
+        for i, chunk in enumerate(np.array_split(df, n_files)):
+            chunk.to_parquet(os.path.join(sd, f"part-{i:03d}.parquet"), index=False)
+    return sd
+
+
 def ensure_fixture_dir(size: str, root: str = "/root/repo/data") -> str:
     """Idempotent materialize-on-demand; returns the directory."""
     d = os.path.join(root, size)

@@ -49,6 +49,13 @@ def lineage_rows(df: DataFrame, run_id: str, stage: str) -> pd.DataFrame:
         )
         .toPandas()
     )
+    if not len(agg):
+        # an empty stage output still committed — record it explicitly, or
+        # the lineage table silently loses the stage (resume audits rely on
+        # every stage being present)
+        agg = pd.DataFrame(
+            {"partition_id": [-1], "n_rows": [0], "checksum": [0]}
+        )
     agg.insert(0, "stage", stage)
     agg.insert(0, "run_id", run_id)
     agg["completed_at"] = time.time()

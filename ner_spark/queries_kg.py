@@ -79,12 +79,14 @@ def stream_windowed_mentions(spark, sf):
     """S1/S2/S5/S6: streaming ingest of the transcripts fixture with
     watermark + 10-minute tumbling windows over turn event time, dedup
     within watermark, availableNow trigger (batch-parity mode)."""
+    from fixtures.gen import ensure_stream_dir
+
     d = ensure_fixture_dir("small")
     static = spark.read.parquet(f"{d}/transcripts.parquet")
     stream = (
         spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(d)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ensure_stream_dir("small"))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -104,3 +106,56 @@ def stream_windowed_mentions(spark, sf):
         )
         q.awaitTermination(300)
     return spark.table("stream_windowed_mentions")
+
+
+@register("stream_incremental_links")
+def stream_incremental_links(spark, sf):
+    """S4+B1/B2/B13 streaming: fused NLP+link mapInPandas over the
+    transcript stream; row-identical to the batch links table
+    (tests/test_streaming.py parity gate)."""
+    import pandas as pd
+
+    from fixtures.gen import ensure_stream_dir
+    from ner_spark.streaming import incremental as S
+
+    d = ensure_fixture_dir("small")
+    stream = S.stream_transcripts(spark, ensure_stream_dir("small"))
+    links = S.streaming_links(
+        stream,
+        pd.read_parquet(f"{d}/gazetteer.parquet"),
+        spark.read.parquet(f"{d}/entity_embeddings.parquet").toPandas(),
+        spark,
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(links, ckpt, "q_stream_links")
+
+
+@register("stream_stateful_mentions")
+def stream_stateful_mentions(spark, sf):
+    """S4 applyInPandasWithState: per-conversation exactly-once mention
+    detection (state = processed turn_idx set), replay-safe."""
+    import pandas as pd
+
+    from fixtures.gen import ensure_stream_dir
+    from ner_spark.streaming import incremental as S
+
+    d = ensure_fixture_dir("small")
+    stream = S.stream_transcripts(spark, ensure_stream_dir("small"))
+    st = S.stateful_incremental_mentions(
+        stream, pd.read_parquet(f"{d}/gazetteer.parquet"), spark
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(st, ckpt, "q_stream_state")
+
+
+@register("stream_session_stats")
+def stream_session_stats(spark, sf):
+    """S3 session windows per conversation (30-min gap), availableNow."""
+    from fixtures.gen import ensure_stream_dir
+    from ner_spark.streaming import incremental as S
+
+    stream = S.stream_transcripts(spark, ensure_stream_dir("small"))
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(
+            S.session_stats(S.deduped(stream)), ckpt, "q_stream_sessions"
+        )

@@ -1,0 +1,273 @@
+"""Structured-Streaming incremental KG build (SURVEY.md §2.9, §3.4).
+
+Batch is the primary target (BASELINE.json north_rule); this module is the
+incremental variant:
+
+S1/S5  watermark on ts + dropDuplicatesWithinWatermark on (conv_id, turn_idx)
+S2     tumbling-window mention counts (queries_kg.stream_windowed_mentions)
+S3     per-conversation session windows (session_stats)
+S4     stateful per-conversation processing via applyInPandasWithState —
+       exactly-once per (conv_id, turn_idx) even when source files are
+       replayed (state = per-conv set of processed turn_idx)
+S6     availableNow sinks; the streaming checkpoint gives idempotent resume
+
+Design note (streaming_links): the batch path's top-1-per-mention is a
+window function (operators/linking.py B13), which Structured Streaming does
+not support, and an append-mode aggregation would withhold unfinalized
+windows — breaking batch/stream parity on bounded input. The streaming path
+therefore fuses candidate lookup + cosine scoring + deterministic argmax
+into the same mapInPandas stage, against *broadcast* gazetteer + entity
+embeddings (the north rule mandates broadcasting those anyway —
+BASELINE.json:14). Scores reuse spec.cosine64 / spec round semantics, so
+stream output == batch output row-for-row (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ner_spark import spec
+from ner_spark.nlp import vectorized as V
+from ner_spark.nlp.model import build_model
+from ner_spark.nlp.stage import MENTIONS_SCHEMA
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+LINKS_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, sent_idx int, "
+    "norm_surface string, ner_type string, entity_id string, link_score double"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-stream source over a transcripts parquet directory (C2). On a
+    cluster the same schema comes from Kafka/Iceberg incremental scans."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def deduped(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S1+S5: watermark + exactly-once turn identity within the watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused NLP + linking stage (stream-safe, batch-parity)
+# ---------------------------------------------------------------------------
+def _candidate_pdf(gazetteer_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
+    """(norm_surface, ner_type, entity_id, embedding) candidate side."""
+    g = gazetteer_pdf.copy()
+    g["norm_surface"] = [spec.norm_surface(s) for s in g["surface_form"]]
+    g = g[["norm_surface", "ner_type", "entity_id"]].drop_duplicates()
+    return g.merge(emb_pdf, on="entity_id", how="left")
+
+
+def _link_pandas(mentions: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
+    """Candidate merge + cosine64 score + deterministic argmax (B1/B2/B13
+    semantics, python-side). `mentions` carries a ctx_emb column."""
+    m = mentions.reset_index(drop=True).reset_index(names="mid")
+    c = m.merge(cand, on=["norm_surface", "ner_type"], how="inner")
+    if not len(c):
+        return pd.DataFrame(
+            columns=["conv_id", "turn_idx", "start", "end", "sent_idx",
+                     "norm_surface", "ner_type", "entity_id", "link_score"]
+        )
+    c["link_score"] = [
+        round(
+            spec.LINK_W_GAZ * spec.GAZ_SCORE_EXACT
+            + spec.LINK_W_EMB * (0.0 if e is None else spec.cosine64(x, e)),
+            spec.SCORE_NDIGITS,
+        )
+        for x, e in zip(c.ctx_emb, c.embedding)
+    ]
+    c = c.sort_values(
+        ["mid", "link_score", "entity_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).drop_duplicates("mid", keep="first")
+    return c[["conv_id", "turn_idx", "start", "end", "sent_idx",
+              "norm_surface", "ner_type", "entity_id", "link_score"]]
+
+
+def streaming_links(
+    stream: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    emb_pdf: pd.DataFrame,
+    spark: SparkSession,
+) -> DataFrame:
+    """dedup → fused NLP+link mapInPandas over the stream (one Arrow trip)."""
+    sc = spark.sparkContext
+    model = build_model()
+    bc = sc.broadcast(
+        {
+            "WT": np.ascontiguousarray(model["W"].T),
+            "T": model["T"],
+            "start": model["start"],
+            "gaz": V.GazMatcher(gazetteer_pdf),
+            "cand": _candidate_pdf(gazetteer_pdf, emb_pdf),
+        }
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = bc.value
+        for pdf in batches:
+            yield _link_pandas(_mentions_pdf(pdf, b), b["cand"])
+
+    return deduped(stream).select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, LINKS_SCHEMA
+    )
+
+
+def _mentions_pdf(pdf: pd.DataFrame, b: dict) -> pd.DataFrame:
+    """NLP over one Arrow batch → mentions pandas frame (same layout as
+    ner_spark.nlp.stage.detect_mentions output)."""
+    texts = pdf["text"].to_numpy(dtype=object)
+    men, _ = V.nlp_batch(texts, b["gaz"], b["WT"], b["T"], b["start"])
+    rows = men["row"]
+    types = np.array(spec.NER_TYPES, dtype=object)
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy()[rows],
+            "turn_idx": pdf["turn_idx"].to_numpy()[rows].astype(np.int32),
+            "sent_idx": men["sent_in_turn"].astype(np.int32),
+            "start": men["start"].astype(np.int32),
+            "end": men["end"].astype(np.int32),
+            "surface": men["surface"],
+            "norm_surface": [spec.norm_surface(s) for s in men["surface"]],
+            "ner_type": types[men["type_code"]] if len(rows) else [],
+            "score": men["score"],
+            "ctx_emb": pd.Series(list(men["ctx"]), dtype=object),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — stateful per-conversation processing (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+STATEFUL_MENTIONS_SCHEMA = MENTIONS_SCHEMA.replace(", ctx_emb array<double>", "")
+_STATE_SCHEMA = "seen array<int>"
+
+
+def stateful_incremental_mentions(
+    stream: DataFrame, gazetteer_pdf: pd.DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Per-conversation stateful NLP: state = processed turn_idx set, so a
+    turn is decoded exactly once even across source replays / overlapping
+    micro-batches (stronger than watermark dedup: no time bound)."""
+    sc = spark.sparkContext
+    model = build_model()
+    bc = sc.broadcast(
+        {
+            "WT": np.ascontiguousarray(model["W"].T),
+            "T": model["T"],
+            "start": model["start"],
+            "gaz": V.GazMatcher(gazetteer_pdf),
+        }
+    )
+
+    def fn(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen: set[int] = set(state.get[0]) if state.exists else set()
+        b = bc.value
+        for pdf in batches:
+            # state filters cross-batch replays; drop_duplicates filters
+            # copies arriving inside the same micro-batch chunk
+            fresh = pdf[~pdf["turn_idx"].isin(seen)].drop_duplicates(
+                subset=["turn_idx"]
+            )
+            if not len(fresh):
+                continue
+            seen.update(int(t) for t in fresh["turn_idx"])
+            out = _mentions_pdf(fresh, b).drop(columns=["ctx_emb"])
+            if len(out):
+                yield out
+        state.update((sorted(seen),))
+
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STATEFUL_MENTIONS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — session windows
+# ---------------------------------------------------------------------------
+def session_stats(stream_or_batch: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-conversation session windows over turn event time; identical
+    expression works on a static DataFrame (batch/stream parity test).
+    Streaming callers must already carry a watermark (``deduped`` sets one);
+    setting another here would be watermark redefinition (disallowed)."""
+    df = stream_or_batch
+    return (
+        df.groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """S6: drain the stream with trigger(availableNow) into a memory sink;
+    returns the sink table. Checkpointed — rerunning with the same
+    checkpoint processes nothing new (idempotent resume)."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(600)
+    return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> DataFrame:
+    """S6 file sink: availableNow append to parquet with a durable
+    checkpoint — rerunning with the same checkpoint is a no-op (the WAL
+    already covers every source file), which is the idempotent-resume
+    property the north rule asks for. Returns the sink table."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .start()
+    )
+    q.awaitTermination(600)
+    return stream_df.sparkSession.read.parquet(path)

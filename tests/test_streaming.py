@@ -1,0 +1,103 @@
+"""M7 — streaming incremental variant (SURVEY.md §2.9, §3.4).
+
+Batch/stream parity on bounded input: draining the transcripts fixture with
+trigger(availableNow) must reproduce the batch pipeline's rows exactly —
+links (fused NLP+link stage), stateful exactly-once mentions (S4), and
+session-window stats (S3, same expression both modes). Plus the S6 resume
+property: rerunning against the same checkpoint processes nothing new.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ner_spark.streaming import incremental as S
+
+KEY = ["conv_id", "turn_idx", "start"]
+
+
+def _sorted(df: pd.DataFrame, key) -> pd.DataFrame:
+    return (
+        df.sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in df.columns if df[c].dtype.kind in "iu"})
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_tx(spark, small_dir):
+    from fixtures.gen import ensure_stream_dir
+
+    return S.stream_transcripts(spark, ensure_stream_dir("small"))
+
+
+def test_streaming_links_batch_parity(spark, small_inputs, kg_small, stream_tx,
+                                      tmp_path):
+    emb_pdf = small_inputs["entity_embeddings"].toPandas()
+    links = S.streaming_links(
+        stream_tx, small_inputs["gazetteer_pdf"], emb_pdf, spark
+    )
+    sink, ck = str(tmp_path / "links_sink"), str(tmp_path / "ck")
+    got = S.run_to_parquet(links, sink, ck).toPandas()
+    exp = kg_small["links"].toPandas()
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(got, KEY)[cols], _sorted(exp, KEY)[cols]
+    )
+
+    # S6 resume: same checkpoint again → no new rows appended
+    again = S.run_to_parquet(
+        S.streaming_links(stream_tx, small_inputs["gazetteer_pdf"], emb_pdf, spark),
+        sink,
+        ck,
+    )
+    assert again.count() == len(got)
+
+
+def test_stateful_mentions_exactly_once(spark, small_inputs, stream_tx, tmp_path):
+    """S4: per-conversation state dedups turn replays without a time bound.
+    The union of the fixture stream with itself (every turn delivered twice)
+    must still yield each mention exactly once == batch NLP output."""
+    from ner_spark.nlp.stage import detect_mentions
+
+    doubled = stream_tx.union(stream_tx)
+    st = S.stateful_incremental_mentions(
+        doubled, small_inputs["gazetteer_pdf"], spark
+    )
+    got = S.run_available_now(st, str(tmp_path / "ck2"), "s_state").toPandas()
+    exp = (
+        detect_mentions(
+            small_inputs["transcripts"], small_inputs["gazetteer_pdf"], spark
+        )
+        .drop("ctx_emb")
+        .toPandas()
+    )
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(got, KEY)[cols], _sorted(exp, KEY)[cols]
+    )
+
+
+def test_session_windows_batch_parity(spark, small_inputs, stream_tx, tmp_path):
+    """S3: identical session_window expression, streaming vs static input.
+
+    Append mode emits exactly the sessions finalized by the watermark
+    (session_end <= max_ts - 1h); later sessions are correctly withheld on
+    bounded input, so parity is asserted on the finalized subset and the
+    withheld set is checked to be exactly the non-finalized remainder."""
+    got = S.run_available_now(
+        S.session_stats(S.deduped(stream_tx)),
+        str(tmp_path / "ck3"),
+        "s_sessions",
+    ).toPandas()
+    tx = small_inputs["transcripts"].dropDuplicates(["conv_id", "turn_idx"])
+    exp = S.session_stats(tx).toPandas()
+    watermark = tx.agg({"ts": "max"}).collect()[0][0] - pd.Timedelta(hours=1)
+    finalized = exp[exp.session_end <= watermark]
+    withheld = exp[exp.session_end > watermark]
+    key = ["conv_id", "session_start"]
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(_sorted(got, key)[cols],
+                                  _sorted(finalized, key)[cols])
+    assert len(withheld) == len(exp) - len(got) and len(got) > 0
