@@ -182,6 +182,11 @@ SIZES = {
     "small": dict(n_convs=200, median_turns=8, n_hot=1, hot_turns=400),
     "eval": dict(n_convs=2000, median_turns=8, n_hot=4, hot_turns=2000),
     "bench": dict(n_convs=100_000, median_turns=8, n_hot=100, hot_turns=2000),
+    # scaling-efficiency runs: large enough (~4M / ~7M turns) that parallel
+    # compute dominates the ~35s of fixed per-stage cost (job scheduling,
+    # commits, CC convergence actions) at the 4N parallelism level
+    "scale": dict(n_convs=400_000, median_turns=8, n_hot=200, hot_turns=2000),
+    "scale2": dict(n_convs=800_000, median_turns=8, n_hot=400, hot_turns=2000),
 }
 
 _REL_BY_TYPES = [
@@ -297,7 +302,12 @@ def transcripts_df(
 # Materialization
 # ---------------------------------------------------------------------------
 def materialize(out_dir: str, size: str = "small", seed: int = 42) -> dict[str, str]:
-    """Write transcripts/gazetteer/entity_embeddings parquet into out_dir."""
+    """Write transcripts/gazetteer/entity_embeddings parquet into out_dir.
+
+    Large transcript fixtures are written as a DIRECTORY of 32 part files:
+    a single big parquet file caps Spark's scan (and the shuffle-write
+    feeding the pipeline's first repartition) at file-split granularity —
+    at 4M turns that serialized the whole first stage onto ~6 tasks."""
     os.makedirs(out_dir, exist_ok=True)
     cat = entity_catalog(seed)
     paths = {}
@@ -307,7 +317,14 @@ def materialize(out_dir: str, size: str = "small", seed: int = 42) -> dict[str, 
         ("transcripts", transcripts_df(cat, seed, **SIZES[size])),
     ):
         p = os.path.join(out_dir, f"{name}.parquet")
-        df.to_parquet(p, index=False)
+        if name == "transcripts" and len(df) > 200_000:
+            os.makedirs(p, exist_ok=True)
+            for i, chunk in enumerate(np.array_split(df, 32)):
+                chunk.to_parquet(
+                    os.path.join(p, f"part-{i:03d}.parquet"), index=False
+                )
+        else:
+            df.to_parquet(p, index=False)
         paths[name] = p
     return paths
 

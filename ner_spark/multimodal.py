@@ -1,0 +1,187 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages
+(SURVEY.md §2.10; task-brief "multimodal columns").
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the *decode*
+step is stubbed: payloads synthesized by :func:`media_table` carry the
+``x-fake`` format, which decodes deterministically via ``np.frombuffer``;
+any real format (jpeg/png/wav/...) raises ``NotImplementedError`` at the
+decode boundary — swap :func:`decode_image` / :func:`decode_audio` for a
+codec-backed implementation on a real cluster. Everything around the stub
+is production-shaped: binary Arrow transfer, struct metadata, batch
+processing, binary-in/binary-out resize, per-row frame sampling.
+
+Scale notes: payload rows are wide (binary), so stages keep
+maxRecordsPerBatch-bounded Arrow batches; operators are row-parallel
+(repartition freely); outputs are flat columns (no driver collect).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_FORMAT = "x-fake"
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, kind string, payload binary, "
+    "meta struct<format:string, width:int, height:int, "
+    "sample_rate:int, duration_ms:int>"
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media over the documents table
+# ---------------------------------------------------------------------------
+def media_table(documents: DataFrame) -> DataFrame:
+    """Derive a media table from ``documents`` (deterministic, no external
+    data): kind cycles image/audio/video by doc_id; payload bytes are a
+    pure function of (doc_id, size); metadata is computed from n_chars.
+
+    Payload synthesis runs in a mapInPandas stage so the binary column is
+    produced executor-side (never materialized on the driver)."""
+    base = documents.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            F.lit(FAKE_FORMAT).alias("format"),
+            ((F.col("n_chars") * 7) % 512 + 16).cast("int").alias("width"),
+            ((F.col("n_chars") * 13) % 512 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            ((F.col("n_chars") * 31) % 5000 + 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, kind, meta in zip(pdf.doc_id, pdf.kind, pdf.meta):
+                if kind == "image":
+                    n = meta["width"] * meta["height"]
+                else:  # audio/video: one byte per ms of duration
+                    n = meta["duration_ms"]
+                # deterministic bytes: splitmix-style counter stream
+                rng = np.random.default_rng(int(doc_id))
+                payloads.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "kind", "payload", "meta"]]
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode stubs (the only not-real part; see module docstring)
+# ---------------------------------------------------------------------------
+def decode_image(payload: bytes, meta: dict) -> np.ndarray:
+    """bytes → (height, width) uint8 array. Real formats need a codec."""
+    if meta["format"] != FAKE_FORMAT:
+        raise NotImplementedError(
+            f"no codec for {meta['format']!r} in this environment; "
+            "plug in PIL/turbojpeg here on a real cluster"
+        )
+    return np.frombuffer(payload, dtype=np.uint8).reshape(
+        meta["height"], meta["width"]
+    )
+
+
+def decode_audio(payload: bytes, meta: dict) -> np.ndarray:
+    """bytes → 1-D uint8 sample array (real impl: PCM decode)."""
+    if meta["format"] != FAKE_FORMAT:
+        raise NotImplementedError(f"no codec for {meta['format']!r}")
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_intensity double, "
+    "std_intensity double, histogram array<bigint>"
+)
+
+
+def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Decode → per-image intensity stats + fixed-width histogram."""
+    imgs = media.where(F.col("kind") == "image")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf.doc_id, pdf.payload, pdf.meta):
+                a = decode_image(payload, meta)
+                hist = np.bincount(a.ravel() >> (8 - n_bins.bit_length() + 1),
+                                   minlength=n_bins)[:n_bins]
+                rows.append(
+                    (doc_id, meta["width"], meta["height"],
+                     float(a.mean()), float(a.std()), hist.tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_intensity",
+                         "std_intensity", "histogram"],
+            )
+
+    return imgs.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<format:string, width:int, height:int, "
+    "sample_rate:int, duration_ms:int>"
+)
+
+
+def image_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Binary-in → binary-out nearest-neighbor resize (production shape:
+    decode, transform, re-encode inside one Arrow batch)."""
+    imgs = media.where(F.col("kind") == "image")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for payload, meta in zip(pdf.payload, pdf.meta):
+                a = decode_image(payload, meta)
+                yi = (np.arange(height) * a.shape[0] // height)[:, None]
+                xi = (np.arange(width) * a.shape[1] // width)[None, :]
+                out_payload.append(a[yi, xi].tobytes())
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {"doc_id": pdf.doc_id, "payload": out_payload, "meta": out_meta}
+            )
+
+    return imgs.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, offset_ms int, frame_mean double"
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample n equally-spaced frames from audio/video payloads → one row
+    per frame (UDTF-shaped output from mapInPandas)."""
+    av = media.where(F.col("kind").isin("audio", "video"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf.doc_id, pdf.payload, pdf.meta):
+                samples = decode_audio(payload, meta)
+                dur = meta["duration_ms"]
+                for k in range(n_frames):
+                    off = k * dur // n_frames
+                    chunk = samples[off : off + max(1, dur // n_frames)]
+                    rows.append((doc_id, k, off, float(chunk.mean())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset_ms", "frame_mean"]
+            )
+
+    return av.mapInPandas(fn, FRAMES_SCHEMA)

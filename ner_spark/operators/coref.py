@@ -20,23 +20,29 @@ def coref_edges(links: DataFrame) -> DataFrame:
     """Within one conversation, surfaces linked to >=2 distinct entities
     produce all unordered entity pairs (spec: co-reference evidence).
 
-    Self-join is bounded by per-(conv, surface) dedup first (SURVEY.md B3).
-    """
-    d = links.select("conv_id", "norm_surface", "entity_id").distinct()
-    a, b = d.alias("a"), d.alias("b")
+    One shuffle total: groupBy(conv, surface) with collect_set dedups and
+    groups in a single hash aggregate (map-side partial), then pairs are
+    expanded JVM-side from the tiny sorted entity array. The equivalent
+    distinct → self-join → distinct formulation costs three full-width
+    shuffles of the links table."""
+    ents = (
+        links.groupBy("conv_id", "norm_surface")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("es"))
+        .where(F.size("es") >= 2)
+    )
+    # all i<j pairs of the sorted array (src < dst by construction)
+    pairs = F.flatten(
+        F.transform(
+            "es",
+            lambda x, i: F.transform(
+                F.slice(F.col("es"), i + 2, F.size("es")),
+                lambda y: F.struct(x.alias("src_entity"), y.alias("dst_entity")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.conv_id") == F.col("b.conv_id"),
-                F.col("a.norm_surface") == F.col("b.norm_surface"),
-                F.col("a.entity_id") < F.col("b.entity_id"),
-            ],
-        )
-        .select(
-            F.col("a.entity_id").alias("src_entity"),
-            F.col("b.entity_id").alias("dst_entity"),
-        )
+        ents.select(F.explode(pairs).alias("p"))
+        .select("p.src_entity", "p.dst_entity")
         .distinct()
     )
 
@@ -85,14 +91,17 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_old = e.count()
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged iff same edge set (both are distinct sets)
-        n_old, n_new = e.count(), e2.count()
+        # converged iff same edge set (both are distinct sets). The count
+        # is carried between rounds (one action per round, not two) and the
+        # expensive set-difference check only runs once counts agree.
+        n_new = e2.count()
         if n_old == n_new and e.exceptAll(e2).isEmpty():
             e = e2
             break
-        e = e2
+        e, n_old = e2, n_new
     stars = e.select(F.col("u").alias("entity_id"), F.col("v").alias("canonical_id"))
     roots = e.select(F.col("v").alias("entity_id")).distinct().withColumn(
         "canonical_id", F.col("entity_id")

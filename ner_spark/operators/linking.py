@@ -8,40 +8,93 @@ B2  link-score join against entity embeddings — the skew hot spot: AQE
     build side) and AQE splits oversized candidate partitions.
 B13 deterministic top-1 per mention: max link_score, ties → min entity_id.
 
-Cosine is computed by a vectorized pandas UDF calling spec.cosine64 per
-candidate (float64 np.dot — the binding arithmetic; candidates are sparse,
-~1 per mention, so the python-level loop inside the Arrow batch is not the
-hot path; everything else is JVM-side).
+Physical choices, each measured at ~10M candidates (3.6M-turn fixture):
+
+- Embedding payloads stay PACKED BINARY end to end: the mention side
+  carries ctx as float64 bytes (one memcpy per row at the NLP stage), the
+  entity side is packed once by a tiny pandas UDF. array<double> through
+  JVM ``aggregate(zip_with(...))`` was ~10x slower — higher-order
+  expressions are interpreted, not codegen'd, and the arrays triple the
+  join payload.
+- Scoring runs in ``mapInPandas`` (one np.frombuffer per Arrow batch +
+  spec.cosine64_batch, the binding sequential-fold arithmetic, + python
+  round — correctly-rounded half-even, where Spark's F.round decimal
+  HALF_UP can disagree on the last digit). A scalar pandas UDF computing
+  the same thing cost ~4x more inside ArrowEvalPython; a per-row np.dot
+  loop ~10x.
+- Top-1 per mention is a ``min_by`` hash aggregate over a
+  struct((-link_score, entity_id)) ordering key — exactly the window's
+  (desc score, asc entity_id) tiebreak, but with map-side partial
+  aggregation and no sort: the row_number window formulation paid a full
+  sort + exchange of every candidate row.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import BinaryType
 
 from ner_spark import spec
 
+_EMB_BYTES = 8 * spec.EMB_DIM
 
-# DoubleType() instance (a "double" DDL string would need an active session
-# at import time)
-@pandas_udf(DoubleType())
-def _link_score64(a: pd.Series, b: pd.Series) -> pd.Series:
-    """round(W_GAZ + W_EMB*cosine64, 6) with *python* round semantics
-    (half-even on the binary double) — Spark's F.round is decimal HALF_UP
-    and would disagree with the oracle on exact boundary values."""
-    out = []
-    for x, y in zip(a, b):
-        cos = 0.0 if x is None or y is None else spec.cosine64(x, y)
-        out.append(
-            round(
-                spec.LINK_W_GAZ * spec.GAZ_SCORE_EXACT + spec.LINK_W_EMB * cos,
-                spec.SCORE_NDIGITS,
-            )
+_LINK_COLS = [
+    "conv_id", "turn_idx", "start", "end", "sent_idx",
+    "norm_surface", "ner_type",
+]
+_SCORED_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, sent_idx int, "
+    "norm_surface string, ner_type string, entity_id string, "
+    "link_score double"
+)
+
+
+# a type instance, not a DDL string (that would need an active session at
+# import time)
+@pandas_udf(BinaryType())
+def _pack64(emb: pd.Series) -> pd.Series:
+    """array<float> → packed little-endian float64 bytes (entity side;
+    runs once over the small embedding table, distributed-safe)."""
+    return pd.Series(
+        [None if v is None else np.asarray(v, "<f8").tobytes() for v in emb],
+        dtype=object,
+    )
+
+
+def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized candidate scoring over packed-binary embeddings."""
+    base = spec.LINK_W_GAZ * spec.GAZ_SCORE_EXACT
+    w = spec.LINK_W_EMB
+    zero = b"\x00" * _EMB_BYTES
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        A = np.frombuffer(b"".join(pdf["ctx_emb"].to_numpy()), "<f8").reshape(
+            n, spec.EMB_DIM
         )
-    return pd.Series(out, dtype="float64")
+        bv = pdf["emb_bin"].to_numpy()
+        null = np.fromiter((v is None for v in bv), bool, n)
+        if null.any():
+            bv = np.array(
+                [zero if m else v for v, m in zip(bv, null)], dtype=object
+            )
+        B = np.frombuffer(b"".join(bv), "<f8").reshape(n, spec.EMB_DIM)
+        cos = spec.cosine64_batch(A, B)
+        cos[null] = 0.0
+        out = pdf[_LINK_COLS + ["entity_id"]].copy()
+        out["link_score"] = pd.Series(
+            [round(base + w * c, spec.SCORE_NDIGITS) for c in cos],
+            index=pdf.index,
+            dtype="float64",
+        )
+        yield out
 
 
 def gazetteer_norm(spark: SparkSession, gazetteer_pdf: pd.DataFrame) -> DataFrame:
@@ -61,29 +114,29 @@ def link_mentions(
     """mentions → links (one best entity per linked mention).
 
     Output: conv_id, turn_idx, mention start/end/sent_idx, norm_surface,
-    entity_id, link_score.
+    ner_type, entity_id, link_score.
     """
     cands = mentions.join(
         F.broadcast(gaz_norm), on=["norm_surface", "ner_type"], how="inner"
     )
-    scored = cands.join(entity_embeddings, on="entity_id", how="left").withColumn(
-        "link_score", _link_score64("ctx_emb", "embedding")
+    emb_bin = entity_embeddings.select(
+        "entity_id", _pack64("embedding").alias("emb_bin")
     )
-    w = Window.partitionBy("conv_id", "turn_idx", "start").orderBy(
-        F.desc("link_score"), F.asc("entity_id")
+    scored = cands.join(emb_bin, on="entity_id", how="left").mapInPandas(
+        _score_batches, _SCORED_SCHEMA
     )
+    # B13: min of struct(-link_score, entity_id) == (max score, tie → min
+    # entity_id); hash aggregate with partial (map-side) combine
+    best = F.min_by(
+        F.struct("entity_id", "link_score"),
+        F.struct((-F.col("link_score")).alias("o1"), F.col("entity_id").alias("o2")),
+    ).alias("best")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(*_LINK_COLS)
+        .agg(best)
         .select(
-            "conv_id",
-            "turn_idx",
-            "start",
-            "end",
-            "sent_idx",
-            "norm_surface",
-            "ner_type",
-            "entity_id",
-            "link_score",
+            *_LINK_COLS,
+            F.col("best.entity_id").alias("entity_id"),
+            F.col("best.link_score").alias("link_score"),
         )
     )

@@ -18,11 +18,13 @@ kill-and-rerun test in tests/test_resume.py relies on this.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ner_spark import io as nio
 from ner_spark.nlp.stage import detect_mentions
@@ -38,14 +40,25 @@ LINEAGE_COLS = ["run_id", "stage", "partition_id", "n_rows", "checksum", "comple
 
 
 def lineage_rows(df: DataFrame, run_id: str, stage: str) -> pd.DataFrame:
-    """Per-partition row counts + order-insensitive checksum (A6)."""
+    """Per-partition row counts + order-insensitive checksum (A6).
+
+    The checksum covers the primitive (scalar) columns only: hashing the
+    embedding/payload arrays roughly doubles the read-back cost of wide
+    stages for no audit value (the scalar key+score columns already pin
+    row identity)."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        not in ("array", "map", "struct", "binary")
+    ] or df.columns
     agg = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             # bit_xor: order-insensitive and overflow-free under ANSI mode
             # (SUM(xxhash64) throws ARITHMETIC_OVERFLOW on Spark 4)
-            F.bit_xor(F.xxhash64(*df.columns)).alias("checksum"),
+            F.bit_xor(F.xxhash64(*cols)).alias("checksum"),
         )
         .toPandas()
     )
@@ -84,6 +97,8 @@ class KGPipeline:
         self.resume = resume
         self.n_partitions = n_partitions
         self.lineage: list[pd.DataFrame] = []
+        self._lineage_threads: list[threading.Thread] = []
+        self._lineage_lock = threading.Lock()
 
     # -- stage materialization protocol (§4.5) -------------------------------
     def _stage(self, name: str, build, partition_by=None) -> DataFrame:
@@ -95,9 +110,26 @@ class KGPipeline:
         df = build()
         nio.write_table(df, path, partition_by=partition_by, run_id=self.run_id)
         out = nio.read_table(self.spark, path)
-        self.lineage.append(lineage_rows(out, self.run_id, name))
-        self._flush_lineage()
+        # lineage is an audit artifact, not a dataflow dependency: compute
+        # it on a side thread (Spark schedules the jobs concurrently) so
+        # the next stage starts immediately; each thread flushes on
+        # completion, preserving crash-time coverage of finished stages
+        t = threading.Thread(
+            target=self._lineage_task, args=(out, name), daemon=True
+        )
+        t.start()
+        self._lineage_threads.append(t)
         return out
+
+    def _lineage_task(self, df: DataFrame, name: str) -> None:
+        rows = lineage_rows(df, self.run_id, name)
+        with self._lineage_lock:
+            self.lineage.append(rows)
+            self._flush_lineage()
+
+    def _join_lineage(self) -> None:
+        for t in self._lineage_threads:
+            t.join(timeout=600)
 
     def _flush_lineage(self) -> None:
         if not (self.warehouse and self.lineage):
@@ -120,13 +152,26 @@ class KGPipeline:
             # co-locates later per-conversation windows
             tx = tx.repartition(self.n_partitions, "conv_id")
 
-        mentions = self._stage(
-            "mentions", lambda: detect_mentions(tx, self.gaz_pdf, spark)
+        # full mentions (with the ctx embedding) feed the link stage from a
+        # memory/disk cache; the materialized mentions AUDIT table drops
+        # ctx_emb — persisting 8*EMB_DIM bytes/mention through a parquet
+        # write+read costs more than recomputing the NLP stage on the rare
+        # resume where mentions committed but links did not
+        men_full = detect_mentions(tx, self.gaz_pdf, spark)
+        links_path = self.warehouse and os.path.join(self.warehouse, "links")
+        links_cached = bool(
+            links_path
+            and self.resume
+            and nio.table_complete(links_path, self.run_id)
         )
+        if self.warehouse and not links_cached:
+            men_full = men_full.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions = self._stage("mentions", lambda: men_full.drop("ctx_emb"))
         gaz_n = gazetteer_norm(spark, self.gaz_pdf)
         links = self._stage(
-            "links", lambda: link_mentions(mentions, gaz_n, self.emb)
+            "links", lambda: link_mentions(men_full, gaz_n, self.emb)
         )
+        men_full.unpersist()
         edges = self._stage("edges", lambda: coref_edges(links))
         canon = self._stage("entities_canon", lambda: canonical_map(links, edges))
         triples = self._stage(
@@ -148,6 +193,7 @@ class KGPipeline:
                 F.mode("ner_type").alias("ner_type"),
             ),
         )
+        self._join_lineage()
         return {
             "mentions": mentions,
             "links": links,

@@ -799,3 +799,39 @@ def json_funcs(spark, sf):
         .otherwise("low")
         .alias("k_band"),
     )
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(json_keys(props)[1]) AS first_key,
+           MAX(len(json_keys(props))) AS max_props
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def map_funcs(spark, sf):
+    """§2.8 map: props parsed to map<string,int> (from_json — str_to_map
+    would apply to k=v syntax), then element_at / map_keys / map_entries
+    over it, aggregated per event type."""
+    e = t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select(
+            "event_type",
+            F.element_at(m, F.lit("k")).alias("kv"),
+            F.element_at(F.map_keys(m), 1).alias("k0"),
+            F.size(F.map_entries(m)).alias("n_props"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("kv").cast("bigint")).alias("sum_k"),
+            F.min("k0").alias("first_key"),
+            F.max(F.col("n_props").cast("bigint")).alias("max_props"),
+        )
+        .orderBy("event_type")
+    )

@@ -263,14 +263,28 @@ def dedup_ngram_jaccard(spark, sf):
 )
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup: 8 salted-MD5 minhashes (bands of 1), candidate
-    pairs = docs colliding in >= 2 bands. Engine-neutral hashing via MD5."""
+    pairs = docs colliding in >= 2 bands. Engine-neutral hashing via MD5.
+
+    Scale note: the signature is computed per-row with
+    array_min(transform(...)) — no shingle explode, no shuffle before the
+    (8 rows/doc) signature self-join. The naive explode(shingles) x bands
+    + groupBy formulation shuffles ~shingles*8 rows (~80M at sf0.1) and
+    was ~20x slower end-to-end."""
     sh = _shingles_df(spark, sf)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    bands = ex.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        ex.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("s")))).alias("minhash"))
+
+    # one-arg lambda factory: a `lambda s, b=band` would be treated by
+    # F.transform as an (element, index) binary lambda and b would receive
+    # the array index instead of the band constant
+    def _band_min(band):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+        )
+
+    sig = sh.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_min(b) for b in range(8)])).alias(
+            "band", "minhash"
+        ),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -307,32 +321,24 @@ def dedup_simhash(spark, sf):
     """SimHash-16 signature: per-token MD5, bit i = sign of sum over tokens
     of +/-1 by hex digit i — identical string arithmetic in both engines."""
     d = t(spark, sf, "documents")
-    ex = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("h"))
-    pos = d.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("i"))
-    bits = (
-        ex.crossJoin(F.broadcast(pos))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.when(
-                    F.substring("h", F.col("i"), F.lit(1)).isin(
-                        "8", "9", "a", "b", "c", "d", "e", "f"
-                    ),
-                    1,
-                ).otherwise(-1)
-            ).alias("w")
+    # per-row, shuffle-free: hash each token once, then fold the hash array
+    # per bit position (the explode x 16 + two-level groupBy formulation
+    # shuffles n_tokens*16 rows and recomputes each MD5 16x)
+    hashes = F.transform(F.split(F.col("text"), " "), F.md5)
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    bit = lambda i: F.when(  # noqa: E731
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i, 1).isin(*high), 1).otherwise(-1),
         )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "w"))),
-                lambda s: F.when(s["w"] >= 0, "1").otherwise("0"),
-            ),
-        ).alias("simhash16")
+        >= 0,
+        "1",
+    ).otherwise("0")
+    return d.select(
+        "doc_id",
+        F.concat(*[bit(i) for i in range(1, 17)]).alias("simhash16"),
     )
 
 

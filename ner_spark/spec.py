@@ -130,14 +130,34 @@ def emb_index_sign(h: int) -> tuple[int, float]:
     return h % EMB_DIM, (1.0 if (h >> 32) & 1 else -1.0)
 
 
-def cosine64(a, b) -> float:
-    """The binding cosine arithmetic: float64 np.dot of unit vectors.
-
-    Both implementations must call exactly this (same accumulation order →
-    bit-identical scores before rounding)."""
+def cosine64_batch(A, B):
+    """The binding cosine arithmetic, batched: per row, a SEQUENTIAL left
+    fold over dimensions — s_0 = 0; s_j = s_{j-1} + a_j*b_j — in IEEE
+    float64. Sequential order is chosen because it is exactly reproducible
+    by every engine tier: this numpy column loop, a plain python loop
+    (oracle), and Spark's JVM `aggregate(zip_with(a, b, (x,y)->x*y), 0D,
+    (s,x)->s+x)` all perform the identical operation sequence, so scores
+    agree bit-for-bit across the batch UDF-free path, the streaming path,
+    and the single-process oracle."""
     import numpy as np
 
-    return float(np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64)))
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    s = np.zeros(len(A), dtype=np.float64)
+    for j in range(A.shape[1]):
+        s = s + A[:, j] * B[:, j]
+    return s
+
+
+def cosine64(a, b) -> float:
+    """Single-pair cosine — delegates to the batch routine (same bits)."""
+    import numpy as np
+
+    return float(
+        cosine64_batch(
+            np.asarray(a, np.float64)[None, :], np.asarray(b, np.float64)[None, :]
+        )[0]
+    )
 
 
 GAZ_SCORE_EXACT = 1.0

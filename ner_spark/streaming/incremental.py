@@ -159,7 +159,7 @@ def _mentions_pdf(pdf: pd.DataFrame, b: dict) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # S4 — stateful per-conversation processing (applyInPandasWithState)
 # ---------------------------------------------------------------------------
-STATEFUL_MENTIONS_SCHEMA = MENTIONS_SCHEMA.replace(", ctx_emb array<double>", "")
+STATEFUL_MENTIONS_SCHEMA = MENTIONS_SCHEMA.replace(", ctx_emb binary", "")
 _STATE_SCHEMA = "seen array<int>"
 
 

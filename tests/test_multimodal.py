@@ -1,0 +1,90 @@
+"""Multimodal plumbing tests: binary Arrow transfer, struct metadata,
+deterministic stub decode, batch-shape independence, empty partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ner_spark import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return M.media_table(docs)
+
+
+def test_media_schema_and_payload_sizes(media):
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,kind:string,payload:binary,"
+        "meta:struct<format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>>"
+    )
+    pdf = media.limit(50).toPandas()
+    for _, r in pdf.iterrows():
+        expect = (
+            r.meta["width"] * r.meta["height"]
+            if r.kind == "image"
+            else r.meta["duration_ms"]
+        )
+        assert len(r.payload) == expect
+        assert isinstance(r.payload, (bytes, bytearray))
+
+
+def test_decode_is_deterministic(media):
+    a = media.where("kind = 'image'").limit(3).toPandas()
+    b = media.where("kind = 'image'").limit(3).toPandas()
+    for (pa, ma), (pb, _) in zip(zip(a.payload, a.meta), zip(b.payload, b.meta)):
+        assert pa == pb
+        img = M.decode_image(pa, ma)
+        assert img.shape == (ma["height"], ma["width"])
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8", {"format": "jpeg"})
+
+
+def test_image_features_values(spark, media):
+    got = M.image_features(media).toPandas().set_index("doc_id")
+    src = media.where("kind = 'image'").limit(5).toPandas()
+    for _, r in src.iterrows():
+        img = M.decode_image(r.payload, r.meta)
+        row = got.loc[r.doc_id]
+        assert row.mean_intensity == pytest.approx(float(img.mean()))
+        assert row.std_intensity == pytest.approx(float(img.std()))
+        assert int(sum(row.histogram)) == img.size
+
+
+def test_resize_shape_and_batch_independence(spark, media):
+    """Output is invariant to partitioning/batch boundaries."""
+    r1 = M.image_resize(media).toPandas()
+    r2 = M.image_resize(media.repartition(7)).toPandas()
+    for df in (r1, r2):
+        assert (df.meta.map(lambda m: (m["width"], m["height"])) == (32, 32)).all()
+        assert df.payload.map(len).eq(32 * 32).all()
+    a = r1.sort_values("doc_id").reset_index(drop=True)
+    b = r2.sort_values("doc_id").reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all()
+    assert all(x == y for x, y in zip(a.payload, b.payload))
+
+
+def test_frame_sample(spark, media):
+    fs = M.frame_sample(media, n_frames=4).toPandas()
+    n_av = media.where("kind in ('audio','video')").count()
+    assert len(fs) == 4 * n_av
+    assert set(fs.frame_idx) == {0, 1, 2, 3}
+    one = fs[fs.doc_id == fs.doc_id.iloc[0]].sort_values("frame_idx")
+    assert one.offset_ms.is_monotonic_increasing
+
+
+def test_empty_input(spark):
+    empty = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 0")
+    m = M.media_table(empty)
+    assert M.image_features(m).count() == 0
+    assert M.frame_sample(m).count() == 0
