@@ -104,6 +104,11 @@ def run_kg(spark, size: str) -> dict:
             warehouse=warehouse,
             run_id="bench",
             resume=False,
+            # explicit conv_id partitioning (north rule): measured FASTER
+            # than running the NLP map-side off the 32-file scan — 128
+            # right-sized partitions balance the python workers and keep
+            # cached mention partitions small; the raw-text shuffle is
+            # cheaper than the imbalance it removes
             n_partitions=max(128, 4 * CPUS),
         )
         n_triples = out["triples"].count()  # reads the materialized stage

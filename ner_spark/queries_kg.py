@@ -159,3 +159,41 @@ def stream_session_stats(spark, sf):
         return S.run_available_now(
             S.session_stats(S.deduped(stream)), ckpt, "q_stream_sessions"
         )
+
+
+@register("conll_ingest")
+def conll_ingest(spark, sf):
+    """A2: CoNLL corpus scan — file-grain mapInPandas block parser over a
+    deterministic eval corpus generated from the oracle's gold mentions
+    (rows-only; exact-value-tested in tests/test_conll_eval.py)."""
+    import os
+
+    from ner_spark.sources.conll import read_conll, write_conll_fixture
+
+    path = "/root/repo/data/small/conll/eval.conll"
+    if not os.path.exists(path):
+        write_conll_fixture(path, "small")
+    return read_conll(spark, path).drop("file")
+
+
+@register("kg_eval_prf")
+def kg_eval_prf(spark, sf):
+    """B6: conlleval-style span P/R/F1 of the Spark NLP stage vs the
+    oracle gold, per type + overall, as one full-outer join + rollup."""
+    from fixtures.gen import ensure_fixture_dir
+    from ner_spark.nlp.stage import detect_mentions
+    from ner_spark.operators.evaluate import span_prf
+    from oracle.ref_pipeline import run_on_dir
+
+    d = ensure_fixture_dir("small")
+    gold = spark.createDataFrame(
+        run_on_dir(d)["mentions"][
+            ["conv_id", "turn_idx", "start", "end", "ner_type"]
+        ]
+    )
+    pred = detect_mentions(
+        spark.read.parquet(f"{d}/transcripts.parquet"),
+        pd.read_parquet(f"{d}/gazetteer.parquet"),
+        spark,
+    )
+    return span_prf(pred, gold).orderBy("ner_type")

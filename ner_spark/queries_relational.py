@@ -835,3 +835,60 @@ def map_funcs(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_asof_cogroup",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, p.last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_cogroup(spark, sf):
+    """C12 alternative physical strategy (§2.10 cogrouped map): the same
+    as-of join as `join_asof`, via cogroup().applyInPandas with
+    pd.merge_asof per user — co-partitioned, sort only within groups.
+    Same DuckDB oracle as the union+window variant: two independent Spark
+    plans differentially checked against one SQL definition."""
+    import pandas as pd
+
+    e = t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "last_purchase_value"]
+            )
+        out = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort")[
+                ["ts", "last_purchase_value"]
+            ],
+            on="ts",
+            direction="backward",
+        )
+        return out[["user_id", "event_id", "last_purchase_value"]]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge, "user_id bigint, event_id bigint, last_purchase_value double"
+        )
+    )

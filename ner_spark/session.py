@@ -17,9 +17,15 @@ DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # text-heavy rows: keep Arrow batches ~tens of MB (SURVEY.md §4.2)
+    # text-heavy rows: ~16k turns x ~200B ≈ 3MB Arrow batches — big enough
+    # that per-batch IPC/python overhead amortizes, small enough to bound
+    # worker memory (SURVEY.md §4.2)
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.python.worker.reuse": "true",
+    # v2 committer moves task files at task commit instead of a serial
+    # driver-side rename of every file at job commit — the v1 rename of
+    # 128 files x 6 stages is a measurable serial cost per pipeline run
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
