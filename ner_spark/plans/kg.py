@@ -147,10 +147,13 @@ class KGPipeline:
         spark = self.spark
         tx = transcripts
         if self.n_partitions:
-            # explicit partitioning by conv_id [B:14]; the NLP stage is
-            # row-parallel so this mainly sizes the Arrow batches and
-            # co-locates later per-conversation windows
-            tx = tx.repartition(self.n_partitions, "conv_id")
+            # explicit partitioning by conv_id with hot-conversation
+            # salting [B:14]: a profile pass finds conversations big
+            # enough to pin a straggler partition and spreads only those
+            # across salt buckets (operators/partitioning.py)
+            from ner_spark.operators.partitioning import salted_repartition
+
+            tx = salted_repartition(tx, self.n_partitions)
 
         # full mentions (with the ctx embedding) feed the link stage from a
         # memory/disk cache; the materialized mentions AUDIT table drops
