@@ -457,6 +457,108 @@ def ann_topk_bruteforce(spark, sf):
 
 
 @register(
+    "ann_ivf_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+          FROM e WHERE vec_id % 100 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cid FROM (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) *
+                            CAST(c.cemb[i] AS DOUBLE)))
+                       / (e.nrm * c.cnrm), 9) DESC, c.cid) AS arn
+        FROM e CROSS JOIN c) WHERE arn = 1),
+    q AS (SELECT * FROM assigned WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) *
+                        CAST(e.embedding[i] AS DOUBLE)))
+                   / (q.nrm * e.nrm), 9) AS cos_sim
+      FROM q JOIN assigned e ON q.cid = e.cid AND q.vec_id <> e.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf):
+    """IVF-partitioned ANN (inverted-file coarse quantizer): deterministic
+    centroids (every 100th vec_id — a seeded k-means would slot in here
+    unchanged), each vector assigned to its nearest centroid by cosine
+    (9-decimal rank rounding + lowest-cid tiebreak so both engines agree),
+    queries probe nprobe=1 cell, local top-3 inside the cell.
+
+    Scale shape: centroids are a broadcast (~sqrt(N) rows) so assignment is
+    a map-side BroadcastNestedLoopJoin + one shuffle of exactly k rows per
+    vector for the argmax window (per-key group size = k, unskewable); the
+    probe join is an equi-join on cell id, so the inverted lists are the
+    shuffle partitions — the same layout a cluster would persist bucketed
+    by cid to make probes shuffle-free."""
+    e = t(spark, sf, "embeddings")
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
+    c = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def cos(a, an, b, bn):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dot / (an * bn), 9)
+
+    aw = W.partitionBy("vec_id").orderBy(
+        F.desc(cos(F.col("embedding"), F.col("nrm"), F.col("cemb"), F.col("cnrm"))),
+        "cid",
+    )
+    assigned = (
+        e.join(F.broadcast(c))
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    q = assigned.where(F.col("vec_id") < 20)
+    scored = (
+        q.alias("q")
+        .join(
+            assigned.alias("e"),
+            (F.col("q.cid") == F.col("e.cid"))
+            & (F.col("q.vec_id") != F.col("e.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            cos(
+                F.col("q.embedding"), F.col("q.nrm"),
+                F.col("e.embedding"), F.col("e.nrm"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
     "ann_lsh_bucketed",
     """
     WITH e AS (
