@@ -266,17 +266,27 @@ def pivot_status(spark, sf):
     "collect_ordered",
     """
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+           array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey),
+                           ',') AS order_keys
     FROM orders GROUP BY o_custkey
     """,
 )
 def collect_ordered(spark, sf):
-    """C19: deterministic ordered collect_list via array_sort(struct)."""
+    """C19: deterministic ordered collect_list via array_sort(struct).
+
+    The ordered list is emitted as a comma-joined string: the value check
+    canonicalizes rows through a pandas sort, and array-typed cells are
+    unhashable there — the string carries identical information."""
     o = t(spark, sf, "orders")
     return o.groupBy("o_custkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
-            lambda s: s["o_orderkey"],
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+                ),
+                lambda s: s["o_orderkey"].cast("string"),
+            ),
         ).alias("order_keys")
     )
 
@@ -819,11 +829,15 @@ def map_funcs(spark, sf):
     over it, aggregated per event type."""
     e = t(spark, sf, "events")
     m = F.from_json("props", "map<string,int>")
+    # try_element_at, not element_at: under Spark 4 ANSI mode a missing map
+    # key (or an empty key array) throws, while the DuckDB oracle's
+    # json_extract_string / json_keys[1] return NULL — NULL-on-missing is
+    # the contract semantics
     return (
         e.select(
             "event_type",
-            F.element_at(m, F.lit("k")).alias("kv"),
-            F.element_at(F.map_keys(m), 1).alias("k0"),
+            F.try_element_at(m, F.lit("k")).alias("kv"),
+            F.try_element_at(F.map_keys(m), F.lit(1)).alias("k0"),
             F.size(F.map_entries(m)).alias("n_props"),
         )
         .groupBy("event_type")

@@ -153,21 +153,42 @@ def text_fingerprint(spark, sf):
 @register(
     "dedup_exact",
     """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20)
     SELECT text_md5, COUNT(*) AS n_dups,
-           list(doc_id ORDER BY doc_id) AS doc_ids
-    FROM (SELECT doc_id, MD5(text) AS text_md5 FROM documents)
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
+    FROM (SELECT doc_id, MD5(text) AS text_md5 FROM all_docs)
     GROUP BY text_md5 HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact(spark, sf):
-    """Exact dedup: hash-groupBy on content hash, keep duplicate groups."""
-    d = t(spark, sf, "documents")
+    """Exact dedup: hash-groupBy on content hash, keep duplicate groups.
+
+    The driver corpus is duplicate-free at every sf, so 20 duplicate pairs
+    are planted deterministically (docs 0-19 re-inserted under doc_id +
+    1e6, mirrored in the oracle) — the operator is exercised on a
+    guaranteed-non-empty result instead of vacuously passing on 0 rows.
+    doc_ids is a comma-joined string (array cells are unhashable in the
+    harness's pandas canonicalizer)."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
     return (
-        d.select("doc_id", F.md5("text").alias("text_md5"))
+        d.unionByName(dup)
+        .select("doc_id", F.md5("text").alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
         )
         .where(F.col("n_dups") > 1)
     )
@@ -204,8 +225,10 @@ def _shingles_df(spark, sf):
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    hot AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 50),
+    ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     pair_common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -221,10 +244,25 @@ def _shingles_df(spark, sf):
 )
 def dedup_ngram_jaccard(spark, sf):
     """Near-dup via word-3-gram Jaccard >= 0.6: shingle-join candidate pairs
-    (no O(n^2) cross join), exact set arithmetic."""
+    (no O(n^2) cross join), exact set arithmetic.
+
+    Document-frequency cap (df <= 50, mirrored in the oracle): a shingle
+    appearing in d documents contributes d^2 rows to the posting self-join,
+    so without the cap a boilerplate shingle shared by millions of docs
+    makes the join quadratic at 100 TB. Hot shingles carry no near-dup
+    signal (they match everything), so both the pair generation AND the
+    jaccard set arithmetic run over the df-filtered shingle sets. At the
+    gate sf the max df is 7, so the cap is behavior-preserving there."""
     sh = _shingles_df(spark, sf)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex0 = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hot = (
+        ex0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50)
+        .select("s")
+    )
+    ex = ex0.join(hot, "s", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
     pc = (
@@ -358,12 +396,17 @@ def dedup_simhash(spark, sf):
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) > 0.6
+          / (a.nrm * b.nrm) > 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup: same-label blocking (IVF-style partition
-    pruning), cosine > 0.6; sampled 1-in-5 to bound the pair count."""
+    pruning), cosine > 0.3; sampled 1-in-5 to bound the pair count.
+
+    Threshold chosen against the driver corpus: the synthetic embeddings'
+    same-label cosine tops out at ~0.41, so a 0.6 cut returned 0 rows at
+    every sf — a vacuous pass. 0.3 yields a small non-empty result at the
+    gate sf, so the pair arithmetic is actually differentially checked."""
     e = t(spark, sf, "embeddings").where(F.col("vec_id") % 5 == 0)
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -383,7 +426,7 @@ def dedup_embedding_cosine(spark, sf):
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos > 0.6)
+        .where(cos > 0.3)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -497,11 +540,17 @@ def ann_ivf_topk(spark, sf):
     queries probe nprobe=1 cell, local top-3 inside the cell.
 
     Scale shape: centroids are a broadcast (~sqrt(N) rows) so assignment is
-    a map-side BroadcastNestedLoopJoin + one shuffle of exactly k rows per
-    vector for the argmax window (per-key group size = k, unskewable); the
-    probe join is an equi-join on cell id, so the inverted lists are the
-    shuffle partitions — the same layout a cluster would persist bucketed
-    by cid to make probes shuffle-free."""
+    a map-side BroadcastNestedLoopJoin + a min_by(struct) hash aggregate —
+    partial aggregation collapses the N x k candidate rows to ONE row per
+    vector on the map side, so the assignment shuffle is N rows, not N x k
+    (the earlier row_number window shuffled and sorted the full cross
+    product, the dominant cost at scale). The argmin key is
+    (1 - cos, cid): struct ordering gives highest-cosine-first with a
+    deterministic lowest-cid tiebreak, matching the oracle's
+    ROW_NUMBER ... ORDER BY cos DESC, cid. The probe join is an equi-join
+    on cell id, so the inverted lists are the shuffle partitions — the
+    same layout a cluster would persist bucketed by cid to make probes
+    shuffle-free."""
     e = t(spark, sf, "embeddings")
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -523,15 +572,22 @@ def ann_ivf_topk(spark, sf):
         )
         return F.round(dot / (an * bn), 9)
 
-    aw = W.partitionBy("vec_id").orderBy(
-        F.desc(cos(F.col("embedding"), F.col("nrm"), F.col("cemb"), F.col("cnrm"))),
-        "cid",
-    )
+    # 1 - cos (not -cos) keeps the sort key in [0, 2]: negation would mint
+    # -0.0 keys whose ordering vs 0.0 is engine-dependent
+    ccos = cos(F.col("embedding"), F.col("nrm"), F.col("cemb"), F.col("cnrm"))
     assigned = (
         e.join(F.broadcast(c))
-        .withColumn("arn", F.row_number().over(aw))
-        .where(F.col("arn") == 1)
-        .select("vec_id", "embedding", "nrm", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("embedding", "nrm", "cid"),
+                F.struct(
+                    (F.lit(1.0) - ccos).alias("inv_cos"),
+                    F.col("cid").alias("cid"),
+                ),
+            ).alias("best")
+        )
+        .select("vec_id", "best.embedding", "best.nrm", "best.cid")
     )
     q = assigned.where(F.col("vec_id") < 20)
     scored = (
