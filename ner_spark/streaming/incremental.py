@@ -49,15 +49,16 @@ LINKS_SCHEMA = (
 
 
 def stream_transcripts(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = 4
 ) -> DataFrame:
     """File-stream source over a transcripts parquet directory (C2). On a
-    cluster the same schema comes from Kafka/Iceberg incremental scans."""
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    cluster the same schema comes from Kafka/Iceberg incremental scans.
+    ``max_files_per_trigger=None`` drains everything in one micro-batch
+    (fast path for the harness entries)."""
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
 
 
 def deduped(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
