@@ -42,6 +42,11 @@ def write_table(
     """Idempotent overwrite of a stage output table + manifest commit marker."""
     if fmt == "iceberg":
         w = df.writeTo(path_or_name)
+        if run_id is not None:
+            # stamped into the committing snapshot's summary — the Iceberg
+            # analogue of the parquet manifest's run_id marker, read back
+            # by table_complete via the .snapshots metadata table
+            w = w.option("snapshot-property.run_id", run_id)
         if partition_by:
             w = w.partitionedBy(*partition_by)
         w.createOrReplace()
@@ -61,10 +66,32 @@ def write_table(
         json.dump(manifest, f)
 
 
-def table_complete(path_or_name: str, run_id: str | None = None, fmt: str = FMT) -> bool:
-    """True iff the table committed (and, if run_id given, by that run)."""
+def table_complete(
+    path_or_name: str,
+    run_id: str | None = None,
+    fmt: str = FMT,
+    spark: SparkSession | None = None,
+) -> bool:
+    """True iff the table committed (and, if run_id given, by that run).
+
+    Iceberg branch: a table exists iff the catalog resolves it, and it was
+    committed by `run_id` iff the CURRENT snapshot's summary carries that
+    run_id (write_table stamps it via snapshot-property.run_id). Reading
+    the current snapshot — not the latest by timestamp — also does the
+    right thing after a rollback."""
     if fmt == "iceberg":
-        raise NotImplementedError("cluster path: check snapshot summary")
+        if spark is None:
+            raise ValueError("iceberg table_complete needs a SparkSession")
+        if not spark.catalog.tableExists(path_or_name):
+            return False
+        if run_id is None:
+            return True
+        rows = spark.sql(
+            f"SELECT summary['run_id'] AS run_id FROM {path_or_name}.snapshots "
+            "WHERE snapshot_id = (SELECT snapshot_id FROM "
+            f"{path_or_name}.history ORDER BY made_current_at DESC LIMIT 1)"
+        ).collect()
+        return bool(rows) and rows[0]["run_id"] == run_id
     mp = _manifest_path(path_or_name)
     if not os.path.exists(mp):
         return False

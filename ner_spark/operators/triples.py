@@ -60,17 +60,30 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
 
     def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            preds, confs = [], []
-            for text, a_end, b_st, s_a, s_b, sc_a, sc_b in zip(
-                pdf["text"], pdf["end"], pdf["b_start"], pdf["sent_idx"],
-                pdf["b_sent_idx"], pdf["link_score"], pdf["b_score"],
-            ):
-                between = text[a_end:b_st].strip().casefold()
-                if s_a == s_b and between in spec.REL_PHRASES:
-                    preds.append(spec.REL_PHRASES[between])
-                else:
-                    preds.append(spec.COOC_PRED)
-                confs.append(round(sc_a * sc_b, spec.SCORE_NDIGITS))
+            # variable-bound slicing has no pandas primitive, but strip /
+            # casefold / phrase lookup vectorize over the batch; python
+            # round stays per-value because python-round IS the binding
+            # confidence semantics (np.round differs on scaled-halfway
+            # representations)
+            between = pd.Series(
+                [
+                    t[a:b]
+                    for t, a, b in zip(pdf["text"], pdf["end"], pdf["b_start"])
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            rel = (
+                between.str.strip()
+                .str.casefold()
+                .map(spec.REL_PHRASES)
+                .where(pdf["sent_idx"].eq(pdf["b_sent_idx"]))
+            )
+            preds = rel.fillna(spec.COOC_PRED)
+            confs = [
+                round(a * b, spec.SCORE_NDIGITS)
+                for a, b in zip(pdf["link_score"], pdf["b_score"])
+            ]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -78,7 +91,7 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
                     "subj": pdf["entity_id"],
                     "pred": preds,
                     "obj": pdf["b_entity"],
-                    "confidence": confs,
+                    "confidence": pd.Series(confs, index=pdf.index, dtype="float64"),
                 }
             )
 

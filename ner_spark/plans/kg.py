@@ -98,6 +98,7 @@ class KGPipeline:
         self.n_partitions = n_partitions
         self.lineage: list[pd.DataFrame] = []
         self._lineage_threads: list[threading.Thread] = []
+        self._lineage_errors: list[tuple[str, BaseException]] = []
         self._lineage_lock = threading.Lock()
 
     # -- stage materialization protocol (§4.5) -------------------------------
@@ -105,7 +106,7 @@ class KGPipeline:
         if not self.warehouse:
             return build()
         path = os.path.join(self.warehouse, name)
-        if self.resume and nio.table_complete(path, self.run_id):
+        if self.resume and nio.table_complete(path, self.run_id, spark=self.spark):
             return nio.read_table(self.spark, path)
         df = build()
         nio.write_table(df, path, partition_by=partition_by, run_id=self.run_id)
@@ -122,7 +123,15 @@ class KGPipeline:
         return out
 
     def _lineage_task(self, df: DataFrame, name: str) -> None:
-        rows = lineage_rows(df, self.run_id, name)
+        # daemon-thread exceptions would otherwise vanish; record them so
+        # _join_lineage can re-raise — a silently missing lineage stage is
+        # exactly what the resume audit exists to prevent
+        try:
+            rows = lineage_rows(df, self.run_id, name)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            with self._lineage_lock:
+                self._lineage_errors.append((name, e))
+            return
         with self._lineage_lock:
             self.lineage.append(rows)
             self._flush_lineage()
@@ -130,6 +139,15 @@ class KGPipeline:
     def _join_lineage(self) -> None:
         for t in self._lineage_threads:
             t.join(timeout=600)
+            if t.is_alive():
+                raise TimeoutError(
+                    f"lineage job still running after 600s (run {self.run_id})"
+                )
+        if self._lineage_errors:
+            name, err = self._lineage_errors[0]
+            raise RuntimeError(
+                f"lineage job for stage '{name}' failed (run {self.run_id})"
+            ) from err
 
     def _flush_lineage(self) -> None:
         if not (self.warehouse and self.lineage):
@@ -165,7 +183,7 @@ class KGPipeline:
         links_cached = bool(
             links_path
             and self.resume
-            and nio.table_complete(links_path, self.run_id)
+            and nio.table_complete(links_path, self.run_id, spark=spark)
         )
         if self.warehouse and not links_cached:
             men_full = men_full.persist(StorageLevel.MEMORY_AND_DISK)

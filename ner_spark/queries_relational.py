@@ -8,6 +8,10 @@ operator row *is* the hint (broadcast, shuffle_hash).
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves postponed-evaluation type hints
+# ('pd.Series') against module globals
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -905,4 +909,35 @@ def join_asof_cogroup(spark, sf):
         .applyInPandas(
             merge, "user_id bigint, event_id bigint, last_purchase_value double"
         )
+    )
+
+
+@register(
+    "grouped_agg_pandas_udf",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def grouped_agg_pandas_udf(spark, sf):
+    """§2.10 grouped-agg pandas UDF: quantity-weighted mean price per
+    return flag. The UDF receives each group's columns as Arrow-batched
+    pandas Series and returns one scalar — the custom-UDAF surface (the
+    other §2.10 rows cover map / scalar / grouped-map / cogrouped-map).
+    Differential note: both engines compute sum(p*q)/sum(q) in float64;
+    ROUND(..., 6) absorbs accumulation-order noise per registry policy."""
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price")
+        )
+        .orderBy("l_returnflag")
     )

@@ -89,10 +89,19 @@ def _link_pandas(mentions: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
             columns=["conv_id", "turn_idx", "start", "end", "sent_idx",
                      "norm_surface", "ner_type", "entity_id", "link_score"]
         )
+    # pandas-aware null check: after the left-merge a missing entity
+    # embedding arrives as float NaN, not None — `e is None` alone would
+    # crash cosine64 and diverge from the batch path, which scores a
+    # missing embedding as cos=0.0 (operators/linking._score_batches)
     c["link_score"] = [
         round(
             spec.LINK_W_GAZ * spec.GAZ_SCORE_EXACT
-            + spec.LINK_W_EMB * (0.0 if e is None else spec.cosine64(x, e)),
+            + spec.LINK_W_EMB
+            * (
+                0.0
+                if e is None or (isinstance(e, float) and pd.isna(e))
+                else spec.cosine64(x, e)
+            ),
             spec.SCORE_NDIGITS,
         )
         for x, e in zip(c.ctx_emb, c.embedding)
@@ -161,15 +170,23 @@ def _mentions_pdf(pdf: pd.DataFrame, b: dict) -> pd.DataFrame:
 # S4 — stateful per-conversation processing (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 STATEFUL_MENTIONS_SCHEMA = MENTIONS_SCHEMA.replace(", ctx_emb binary", "")
-_STATE_SCHEMA = "seen array<int>"
+# compact exactly-once state: every turn_idx < wm is processed, plus the
+# sparse set of out-of-order turn_idx >= wm already processed. For the
+# common in-order arrival the state is ONE int regardless of conversation
+# length — the naive full turn_idx array held ~10^6 ints for the hot
+# conversations the salting work targets, growing without bound under
+# GroupStateTimeout.NoTimeout.
+_STATE_SCHEMA = "wm int, ahead array<int>"
 
 
 def stateful_incremental_mentions(
     stream: DataFrame, gazetteer_pdf: pd.DataFrame, spark: SparkSession
 ) -> DataFrame:
-    """Per-conversation stateful NLP: state = processed turn_idx set, so a
-    turn is decoded exactly once even across source replays / overlapping
-    micro-batches (stronger than watermark dedup: no time bound)."""
+    """Per-conversation stateful NLP: state = (high-watermark, out-of-order
+    set) of processed turn_idx, so a turn is decoded exactly once even
+    across source replays / overlapping micro-batches (stronger than
+    watermark dedup: no time bound) while the state stays O(gap), not
+    O(conversation length)."""
     sc = spark.sparkContext
     model = build_model()
     bc = sc.broadcast(
@@ -186,21 +203,30 @@ def stateful_incremental_mentions(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        seen: set[int] = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            wm, ahead = state.get
+            ahead = set(ahead)
+        else:
+            wm, ahead = 0, set()
         b = bc.value
         for pdf in batches:
             # state filters cross-batch replays; drop_duplicates filters
             # copies arriving inside the same micro-batch chunk
-            fresh = pdf[~pdf["turn_idx"].isin(seen)].drop_duplicates(
+            ti = pdf["turn_idx"]
+            fresh = pdf[(ti >= wm) & ~ti.isin(ahead)].drop_duplicates(
                 subset=["turn_idx"]
             )
             if not len(fresh):
                 continue
-            seen.update(int(t) for t in fresh["turn_idx"])
+            ahead.update(int(t) for t in fresh["turn_idx"])
+            # advance the watermark over the now-contiguous prefix
+            while wm in ahead:
+                ahead.discard(wm)
+                wm += 1
             out = _mentions_pdf(fresh, b).drop(columns=["ctx_emb"])
             if len(out):
                 yield out
-        state.update((sorted(seen),))
+        state.update((wm, sorted(ahead)))
 
     return (
         stream.select("conv_id", "turn_idx", "text")
@@ -253,8 +279,19 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, name: str,
         .queryName(name)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q, name)
     return stream_df.sparkSession.table(name)
+
+
+def _await_drained(q, name: str, timeout_s: int = 600) -> None:
+    """Fail loudly if the availableNow drain exceeds the timeout: reading
+    the sink while the query still runs would surface as nondeterministic
+    row counts instead of a clear error."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream drain '{name}' still running after {timeout_s}s"
+        )
 
 
 def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> DataFrame:
@@ -270,5 +307,5 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> DataFram
         .option("path", path)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q, path)
     return stream_df.sparkSession.read.parquet(path)

@@ -1,0 +1,113 @@
+"""Iceberg branch of the storage abstraction (SURVEY.md §4.4/§4.5).
+
+No Iceberg runtime jars exist in the sandbox, so the catalog is mocked at
+the SparkSession seam: table_complete's iceberg path only touches
+``spark.catalog.tableExists`` and ``spark.sql(...).collect()``, which is
+exactly what these stubs provide. The real-jar behavior (snapshot summary
+properties, .snapshots/.history metadata tables) is public Iceberg
+semantics; what this test pins is OUR protocol — write stamps
+snapshot-property.run_id, resume trusts only the current snapshot's stamp.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ner_spark import io as nio
+
+
+class _Rows:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+class _Row(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+
+class _Catalog:
+    def __init__(self, tables):
+        self._tables = tables
+
+    def tableExists(self, name):
+        return name in self._tables
+
+
+class _FakeSpark:
+    """Stub of the two SparkSession members the iceberg branch uses."""
+
+    def __init__(self, tables: dict[str, str | None]):
+        # table name -> run_id in the CURRENT snapshot summary (None = no stamp)
+        self._tables = tables
+        self.catalog = _Catalog(tables)
+        self.queries: list[str] = []
+
+    def sql(self, q):
+        self.queries.append(q)
+        name = q.split("FROM ")[1].split(".snapshots")[0]
+        rid = self._tables[name]
+        return _Rows([_Row({"run_id": rid})])
+
+
+def test_missing_table_is_incomplete():
+    sp = _FakeSpark({})
+    assert nio.table_complete("cat.db.t", "r1", fmt="iceberg", spark=sp) is False
+    assert sp.queries == []  # short-circuits before any metadata query
+
+
+def test_existing_table_without_run_id_check():
+    sp = _FakeSpark({"cat.db.t": None})
+    assert nio.table_complete("cat.db.t", None, fmt="iceberg", spark=sp) is True
+
+
+def test_run_id_match_and_mismatch():
+    sp = _FakeSpark({"cat.db.t": "rA"})
+    assert nio.table_complete("cat.db.t", "rA", fmt="iceberg", spark=sp) is True
+    assert nio.table_complete("cat.db.t", "rB", fmt="iceberg", spark=sp) is False
+    # stale table with NO stamp must not satisfy a run_id check
+    sp2 = _FakeSpark({"cat.db.t": None})
+    assert nio.table_complete("cat.db.t", "rA", fmt="iceberg", spark=sp2) is False
+
+
+def test_iceberg_requires_spark():
+    with pytest.raises(ValueError):
+        nio.table_complete("cat.db.t", "rA", fmt="iceberg")
+
+
+def test_write_table_stamps_run_id():
+    """The writeTo chain must carry snapshot-property.run_id so
+    table_complete can find it later."""
+
+    class _Writer:
+        def __init__(self):
+            self.opts = {}
+            self.created = False
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def partitionedBy(self, *cols):
+            self.parts = cols
+            return self
+
+        def createOrReplace(self):
+            self.created = True
+
+    class _DF:
+        def __init__(self):
+            self.w = _Writer()
+
+        def writeTo(self, name):
+            self.name = name
+            return self.w
+
+    df = _DF()
+    nio.write_table(df, "cat.db.t", fmt="iceberg", partition_by=["b"], run_id="rZ")
+    assert df.w.created
+    assert df.w.opts["snapshot-property.run_id"] == "rZ"
+    assert df.w.parts == ("b",)

@@ -55,6 +55,38 @@ def test_streaming_links_batch_parity(spark, small_inputs, kg_small, stream_tx,
     assert again.count() == len(got)
 
 
+def test_streaming_links_missing_embedding_parity(spark, small_inputs,
+                                                  stream_tx, tmp_path):
+    """A gazetteer entity with no embedding row must score cos=0.0 in the
+    streaming path exactly like the batch path — the left-merge turns the
+    missing embedding into float NaN, which regressed to a crash when the
+    null check was `e is None` only."""
+    from ner_spark.nlp.stage import detect_mentions
+    from ner_spark.operators.linking import gazetteer_norm, link_mentions
+
+    emb = small_inputs["entity_embeddings"]
+    # drop ~half the embedding rows so linked entities are actually missing
+    emb_partial = emb.where("substring(entity_id, -1, 1) IN ('0','2','4','6','8')")
+    links = S.streaming_links(
+        stream_tx,
+        small_inputs["gazetteer_pdf"],
+        emb_partial.toPandas(),
+        spark,
+    )
+    got = S.run_available_now(links, str(tmp_path / "ck_miss"), "s_miss").toPandas()
+    men = detect_mentions(
+        small_inputs["transcripts"], small_inputs["gazetteer_pdf"], spark
+    )
+    exp = link_mentions(
+        men, gazetteer_norm(spark, small_inputs["gazetteer_pdf"]), emb_partial
+    ).toPandas()
+    assert len(exp) > 0
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(got, KEY)[cols], _sorted(exp, KEY)[cols]
+    )
+
+
 def test_stateful_mentions_exactly_once(spark, small_inputs, stream_tx, tmp_path):
     """S4: per-conversation state dedups turn replays without a time bound.
     The union of the fixture stream with itself (every turn delivered twice)
