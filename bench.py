@@ -141,12 +141,32 @@ def main() -> None:
     from ner_spark.session import get_spark
 
     sf = _sf_of(a.sf_dir)
-    spark = get_spark(master=a.master, app="ner-spark-bench")
+    # KG session: spark.task.cpus=2 at high core counts. Every pandas-UDF
+    # task pins one JVM thread AND one Python worker process, so plain
+    # local[32] keeps ~64 hot threads runnable on 32 cores and the job runs
+    # ~2.5x slower than at local[16] (measured — see BENCH/BASELINE.md).
+    # task.cpus=2 sizes the slot count so concurrent tasks ≈ physical
+    # cores; on a real cluster the same knob (or one executor core per
+    # task + pyspark memory headroom) is standard sizing for python-heavy
+    # stages. Low core counts (the N vs 4N scaling pair) keep 1 cpu/task.
+    m = re.match(r"local\[(\d+)\]", a.master or f"local[{CPUS}]")
+    cpus = int(m.group(1)) if m else CPUS
+    task_cpus = os.environ.get(
+        "SPARK_GRAFT_TASK_CPUS", "2" if cpus >= 16 else "1"
+    )
+    kg_extra = {"spark.task.cpus": task_cpus} if task_cpus != "1" else {}
+    spark = get_spark(master=a.master, app="ner-spark-bench", extra=kg_extra)
     timings: dict[str, float] = {}
 
     t_all = time.perf_counter()
     kg = run_kg(spark, _kg_size(sf))
     timings["kg_pipeline"] = kg["sec"]
+
+    if not a.kg_only and kg_extra:
+        # headline Layer-C queries are JVM-side (no python workers): give
+        # them back the full slot count in a fresh context
+        spark.stop()
+        spark = get_spark(master=a.master, app="ner-spark-bench")
 
     if not a.kg_only:
         import ner_spark.queries_relational  # noqa: F401
