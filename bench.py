@@ -58,6 +58,7 @@ HEADLINE = [
     "window_rank_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_fast",
     "ann_topk_bruteforce",
     "text_quality_score",
 ]

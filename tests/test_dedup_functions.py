@@ -1,0 +1,83 @@
+"""Production-path dedup (ner_spark/functions/dedup.py) vs the
+differential MD5 variant and vs exact Jaccard ground truth.
+
+LSH with 8 bands of r=1 recovers a pair with prob 1-(1-J)^8-8J(1-J)^7
+(>= 2 band hits); at J >= 0.6 that is ~0.996 per pair. The two hash
+families (MD5 / xxhash64) sample different random permutations, so their
+candidate sets legitimately differ on mid-Jaccard pairs — the contract
+is recall of the true near-dup set plus bounded candidate blowup, and
+that is what is asserted for BOTH variants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(int(r["doc_a"]), int(r["doc_b"])) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def truth_pairs():
+    """Exact word-3-gram Jaccard >= 0.6 pairs, independently via DuckDB."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    rows = con.sql(
+        """
+        WITH sh AS (
+          SELECT doc_id, list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        pc AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b FROM pc
+        JOIN sizes sa ON sa.doc_id = pc.doc_a
+        JOIN sizes sb ON sb.doc_id = pc.doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+        """
+    ).fetchall()
+    con.close()
+    return {(int(a), int(b)) for a, b in rows}
+
+
+def test_both_variants_recall_true_near_dups(spark, truth_pairs):
+    from ner_spark.queries_text import dedup_minhash_fast, dedup_minhash_lsh
+
+    fast = _pairs(dedup_minhash_fast(spark, SF_DIR))
+    md5 = _pairs(dedup_minhash_lsh(spark, SF_DIR))
+    assert len(truth_pairs) > 0
+    # candidate sets must cover every true near-dup pair on this corpus
+    assert truth_pairs <= fast, f"fast missed {sorted(truth_pairs - fast)[:5]}"
+    assert truth_pairs <= md5, f"md5 missed {sorted(truth_pairs - md5)[:5]}"
+    # and stay a candidate set, not a cross product: bounded blowup
+    assert len(fast) <= 10 * len(truth_pairs)
+    assert len(md5) <= 10 * len(truth_pairs)
+
+
+def test_signatures_are_per_row(spark):
+    """The signature stage must not shuffle: its physical plan contains no
+    Exchange below the posexplode projection (the whole point of the
+    per-row higher-order-function formulation)."""
+    from ner_spark.functions.dedup import minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        minhash_signatures(shingles(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
