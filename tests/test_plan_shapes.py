@@ -1,0 +1,79 @@
+"""Physical-plan regression tests (SURVEY.md §4, the 100-TB contract).
+
+Each assertion pins a plan property the scale design depends on — the
+properties that silently regress when a query is refactored: predicate
+pushdown reaching the parquet scan, column pruning, broadcast staying
+broadcast, global top-k avoiding a global sort, and the IVF centroid
+assignment staying a partial+final aggregate instead of an N x k window.
+
+Plans are built (not executed): `executedPlan().toString()` on the
+pre-AQE physical plan is enough for these static shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    from __spark_entry__ import queries
+
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = _plan(spark, "proj_filter_pushdown")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # pushdown: the shipdate/discount predicates are scan DataFilters
+    assert "l_shipdate" in scan and "l_discount" in scan
+    # pruning: only the 4 referenced columns are read (of 16 in lineitem)
+    cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+    assert len(cols) == 4, cols
+
+
+def test_dim_join_is_broadcast_hash(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_has_no_global_sort(spark):
+    plan = _plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort + Limit would read "Sort [.. ASC" above an Exchange
+    assert "rangepartitioning" not in plan
+
+
+def test_ivf_assignment_is_partial_aggregate_not_window(spark):
+    plan = _plan(spark, "ann_ivf_topk")
+    # assignment: broadcast NLJ feeding a partial min_by (map-side combine
+    # collapses N x k candidate rows before any exchange)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min_by" in plan
+    # every Window left in the plan is the bounded per-query top-3, never
+    # one partitioned by vec_id (the old N x k assignment shape)
+    windows = [l for l in plan.splitlines() if "Window [" in l or "Window [" in l]
+    assert all("query_id" in w for w in windows), windows
+    assert not any(
+        "windowspecdefinition(vec_id" in l for l in plan.splitlines()
+    )
+
+
+def test_salted_agg_is_two_level(spark):
+    plan = _plan(spark, "salted_two_level_agg")
+    # both aggregation levels carry partial+final pairs
+    assert plan.count("partial_") >= 2
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_minhash_fast"])
+def test_minhash_signatures_join_on_band_and_hash(spark, name):
+    plan = _plan(spark, name)
+    # the candidate join must be an equi (hash-partitionable) join on the
+    # signature, never a nested-loop over doc pairs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "NestedLoop" not in plan
