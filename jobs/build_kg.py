@@ -44,14 +44,33 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--task-cpus",
+        type=int,
+        default=None,
+        help="spark.task.cpus for the job (default: 2 on local masters with "
+        ">= 16 cores — each pandas-UDF task pins a JVM thread AND a python "
+        "worker, so slots must be sized to ~half the cores or the job "
+        "oversubscribes 2x; see BENCH/BASELINE.md)",
+    )
     a = ap.parse_args()
+
+    import re
 
     import pandas as pd
 
     from ner_spark.plans.kg import build_kg
     from ner_spark.session import get_spark
 
-    spark = get_spark(master=a.master, app=f"kg-build-{a.run_id}")
+    task_cpus = a.task_cpus
+    if task_cpus is None:
+        m = re.match(
+            r"local\[(\d+)\]",
+            a.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        )
+        task_cpus = 2 if (m and int(m.group(1)) >= 16) else 1
+    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus != 1 else {}
+    spark = get_spark(master=a.master, app=f"kg-build-{a.run_id}", extra=extra)
     if a.fixture:
         from fixtures.gen import ensure_fixture_dir
 
