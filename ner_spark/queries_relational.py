@@ -412,14 +412,20 @@ def join_semi(spark, sf):
     "join_anti",
     """
     SELECT c_mktsegment, COUNT(*) AS n
-    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     GROUP BY c_mktsegment
     """,
 )
 def join_anti(spark, sf):
-    """C13: left-anti join."""
+    """C13: left-anti join — customers without a high-value order.
+
+    The build side is filtered (o_totalprice > 300000) so the anti-join
+    has survivors at every sf: every customer has SOME order in the
+    driver data, so the unfiltered version returned 0 rows and the
+    differential check was vacuous."""
     c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
