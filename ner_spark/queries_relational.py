@@ -947,3 +947,133 @@ def grouped_agg_pandas_udf(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "tpch_q3_shipping",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark, sf):
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    fact-fact join → hash agg → top-10. Plan shape at scale: both date
+    filters push into the parquet scans, the filtered customer side
+    broadcasts (segment cut ≈ 1/5 of an already-small dim), so the only
+    shuffle is orders⋈lineitem on orderkey + the final agg; the top-10
+    is TakeOrderedAndProject (no global sort). Revenue groups are
+    per-orderkey (≤7 lineitems) so ROUND(...,6) is add-order-safe;
+    deterministic l_orderkey tiebreak pins the LIMIT cut."""
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier(spark, sf):
+    """TPC-H Q5 shape (local-supplier revenue): 6-table join — the
+    join-ordering / broadcast-selection workout. region→nation→supplier
+    and customer are all broadcast-sized next to lineitem, so Catalyst
+    (+AQE) plans a chain of BroadcastHashJoins around the one big
+    orders⋈lineitem shuffle; the date filter pushes into the orders
+    scan and DPP can prune lineitem at the orderkey join on a
+    partitioned warehouse. ROUND(...,1) on the nation-level sum absorbs
+    cross-engine accumulation-order noise (registry policy, same as
+    pricing_summary)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "subquery_corr_scalar",
+    """
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT ROUND(1.2 * AVG(c2.c_acctbal), 6)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_corr_scalar(spark, sf):
+    """Correlated scalar subquery (customers 20% above their nation's
+    mean balance), run through spark.sql so Catalyst's subquery
+    decorrelation (RewriteCorrelatedScalarSubquery) plans it — the
+    optimized plan is an aggregate on the correlation key joined back to
+    the outer table, not a per-row re-execution; at scale that is one
+    small agg + one broadcast join instead of N subquery probes.
+    ROUND(threshold, 6) on both engines pins the float boundary."""
+    t(spark, sf, "customer").createOrReplaceTempView("__cust_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM __cust_sq c
+        WHERE c.c_acctbal > (
+          SELECT ROUND(1.2 * AVG(c2.c_acctbal), 6)
+          FROM __cust_sq c2 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

@@ -698,3 +698,175 @@ def ann_lsh_bucketed(spark, sf):
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering + ANN quality metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id, b.band,
+             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
+      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, b.band),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach AS (
+      SELECT u AS doc_id, v AS r FROM edges
+      UNION
+      SELECT c.doc_id, e.v FROM reach c JOIN edges e ON e.u = c.r)
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_cluster(spark, sf):
+    """Near-dup clustering: MinHash-LSH candidate pairs (same recipe as
+    dedup_minhash_lsh) fed through the iterative large-star/small-star
+    connected-components operator (operators/coref.py, SURVEY.md §2.6
+    B10); cluster_id = min doc_id of the component — the canonical
+    "keep one representative per duplicate cluster" step of a dedup
+    pipeline.
+
+    This is the only DuckDB-differential exercise of the CC operator
+    itself (oracle = recursive-CTE transitive closure, an independent
+    fixed-point formulation), complementing the pytest partition-
+    refinement property tests. Scale shape: CC is O(log n) rounds of
+    equi-join + groupBy — no transitive-closure materialization, which
+    at 100 TB would be quadratic in cluster size; the CTE closure is
+    oracle-only."""
+    from ner_spark.operators.coref import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf)
+    edges = pairs.select(
+        F.col("doc_a").alias("src_entity"), F.col("doc_b").alias("dst_entity")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("entity_id").alias("doc_id"), F.col("canonical_id").alias("cluster_id")
+    )
+
+
+def _bf_topk(spark, sf, n_queries, k):
+    """Brute-force cosine top-k (query vec_id < n_queries), deterministic
+    9-decimal rank rounding + neighbor_id tiebreak (shared with the ANN
+    variants so recall joins are exact)."""
+    e = t(spark, sf, "embeddings")
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
+    q = e.where(F.col("vec_id") < n_queries)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"), F.col("e.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.alias("q")
+        .join(F.broadcast(e.alias("e")), F.col("q.vec_id") != F.col("e.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("q.nrm") * F.col("e.nrm")), 9).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "ann_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             CONCAT(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[16] > 0 THEN '1' ELSE '0' END) AS bucket,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE) *
+                            CAST(e.embedding[i] AS DOUBLE)))
+                       / (q.nrm * e.nrm), 9) DESC, e.vec_id) AS rn
+        FROM q JOIN e ON q.vec_id <> e.vec_id) WHERE rn <= 3),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                       i -> CAST(q.embedding[i] AS DOUBLE) *
+                            CAST(e.embedding[i] AS DOUBLE)))
+                       / (q.nrm * e.nrm), 9) DESC, e.vec_id) AS rn
+        FROM q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id)
+      WHERE rn <= 3)
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS recall
+    FROM bf LEFT JOIN lsh l
+      ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_recall(spark, sf):
+    """ANN quality metric: recall@3 of the LSH-bucketed index vs the
+    brute-force exact top-3 (the standard way an ANN index is graded
+    before it replaces exact search in a pipeline). Per query: how many
+    of the 3 true neighbors the bucketed search recovered.
+
+    Scale shape: ground truth is only ever computed for a small query
+    sample (broadcast NLJ over the sample), the ANN side reuses the
+    bucket-partitioned index join, and the comparison is a left join on
+    (query_id, neighbor_id) + hash aggregate — the metric job stays
+    O(sample x N), never O(N^2)."""
+    bf = _bf_topk(spark, sf, 20, 3)
+    lsh = ann_lsh_bucketed(spark, sf).select("query_id", "neighbor_id")
+    hit = F.when(F.col("l.neighbor_id").isNotNull(), 1).otherwise(0)
+    return (
+        bf.alias("bf")
+        .join(
+            lsh.alias("l"),
+            (F.col("l.query_id") == F.col("bf.query_id"))
+            & (F.col("l.neighbor_id") == F.col("bf.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("bf.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
