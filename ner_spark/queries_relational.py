@@ -1077,3 +1077,51 @@ def subquery_corr_scalar(spark, sf):
           FROM __cust_sq c2 WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@register(
+    "batch_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def batch_sessionize(spark, sf):
+    """Sessionization in batch mode via F.session_window (the same
+    expression the S3 streaming path uses — session_window works on
+    static DataFrames), giving the session operator a DuckDB
+    differential: the oracle is the classic gaps-and-islands rewrite
+    (lag + running sum of session breaks).
+
+    Boundary semantics (probed, not assumed): an event at exactly
+    prev_ts + gap MERGES into the open session — a new session starts
+    only when the gap is strictly exceeded — and session_end =
+    last_event_ts + gap; the oracle's `> INTERVAL 30 MINUTE` break
+    condition and MAX(ts) + gap reproduce both. Scale shape: one
+    shuffle on user_id; Spark's session merge is a partial-aggregation
+    friendly hash agg, not a window sort."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
