@@ -56,6 +56,9 @@ HEADLINE = [
     "join_asof",
     "salted_two_level_agg",
     "window_rank_topk",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "batch_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
