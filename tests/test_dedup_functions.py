@@ -81,3 +81,29 @@ def test_signatures_are_per_row(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_dedup_cluster_is_valid_partition(spark):
+    """dedup_cluster output must be a valid clustering of the LSH pair
+    graph: every doc maps to exactly one cluster, the cluster id is the
+    member minimum, and every candidate pair lands in one cluster."""
+    from __spark_entry__ import queries
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries()["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    assign = {
+        r["doc_id"]: r["cluster_id"]
+        for r in queries()["dedup_cluster"](spark, sf).collect()
+    }
+    # exactly the docs appearing in some pair are clustered
+    assert set(assign) == {d for p in pairs for d in p}
+    # pair endpoints always share a cluster
+    assert all(assign[a] == assign[b] for a, b in pairs)
+    # cluster id is the min member id of its cluster
+    by_cluster = {}
+    for doc, cl in assign.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    assert all(cl == min(members) for cl, members in by_cluster.items())

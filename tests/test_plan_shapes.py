@@ -77,3 +77,27 @@ def test_minhash_signatures_join_on_band_and_hash(spark, name):
         "BroadcastHashJoin" in plan
     )
     assert "NestedLoop" not in plan
+
+
+def test_tpch_q3_is_takeordered_with_broadcast_dim(spark):
+    plan = _plan(spark, "tpch_q3_shipping")
+    # top-10 must be TakeOrderedAndProject, never a global sort + limit
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # the filtered customer dim broadcasts; date filters reach the scans
+    assert "BroadcastHashJoin" in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("l_shipdate" in s for s in scans)
+    assert any("o_orderdate" in s for s in scans)
+
+
+def test_subquery_corr_scalar_is_decorrelated(spark):
+    from __spark_entry__ import queries
+
+    df = queries()["subquery_corr_scalar"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate-on-correlation-key joined back to the outer table; a
+    # surviving scalar-subquery node would mean per-row re-execution
+    assert "scalar-subquery" not in opt.lower()
+    assert "Aggregate" in opt and "Join" in opt
