@@ -478,7 +478,12 @@ def dedup_embedding_cosine(spark, sf):
 def ann_topk_bruteforce(spark, sf):
     """Brute-force cosine top-k (the exactness baseline for ANN): query
     vectors vs all, row_number top-3 with 9-decimal rank rounding so the
-    two engines rank identically."""
+    two engines rank identically.
+
+    Scale shape: the SMALL query sample is the broadcast side and the
+    full embedding table streams map-side past it — broadcasting the
+    N-row table (the reverse orientation) would ship the whole index to
+    every task and cap N at the broadcast limit."""
     e = t(spark, sf, "embeddings")
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -496,8 +501,8 @@ def ann_topk_bruteforce(spark, sf):
         lambda acc, x: acc + x,
     )
     scored = (
-        q.alias("q")
-        .join(F.broadcast(e.alias("e")), F.col("q.vec_id") != F.col("e.vec_id"))
+        e.alias("e")
+        .join(F.broadcast(q.alias("q")), F.col("q.vec_id") != F.col("e.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("e.vec_id").alias("neighbor_id"),
@@ -763,7 +768,8 @@ def dedup_cluster(spark, sf):
 def _bf_topk(spark, sf, n_queries, k):
     """Brute-force cosine top-k (query vec_id < n_queries), deterministic
     9-decimal rank rounding + neighbor_id tiebreak (shared with the ANN
-    variants so recall joins are exact)."""
+    variants so recall joins are exact). The query sample is the
+    broadcast side; the full table streams past it map-side."""
     e = t(spark, sf, "embeddings")
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -781,8 +787,8 @@ def _bf_topk(spark, sf, n_queries, k):
         lambda acc, x: acc + x,
     )
     scored = (
-        q.alias("q")
-        .join(F.broadcast(e.alias("e")), F.col("q.vec_id") != F.col("e.vec_id"))
+        e.alias("e")
+        .join(F.broadcast(q.alias("q")), F.col("q.vec_id") != F.col("e.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("e.vec_id").alias("neighbor_id"),
