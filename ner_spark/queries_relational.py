@@ -1013,10 +1013,13 @@ def tpch_q3_shipping(spark, sf):
 )
 def tpch_q5_local_supplier(spark, sf):
     """TPC-H Q5 shape (local-supplier revenue): 6-table join — the
-    join-ordering / broadcast-selection workout. region→nation→supplier
-    and customer are all broadcast-sized next to lineitem, so Catalyst
-    (+AQE) plans a chain of BroadcastHashJoins around the one big
-    orders⋈lineitem shuffle; the date filter pushes into the orders
+    join-ordering / broadcast-selection workout. nation/region are
+    forced broadcasts (constant-sized); supplier and customer carry NO
+    broadcast hint — at TPC-H proportions they are 1/1000th of lineitem
+    but still grow with scale, so the right physical join is
+    size-dependent and AQE's runtime statistics should pick it (BHJ at
+    this sf, SMJ/SHJ on a 100-TB warehouse where forcing a broadcast
+    would OOM the executors). The date filter pushes into the orders
     scan and DPP can prune lineitem at the orderkey join on a
     partitioned warehouse. ROUND(...,1) on the nation-level sum absorbs
     cross-engine accumulation-order noise (registry policy, same as
@@ -1033,7 +1036,7 @@ def tpch_q5_local_supplier(spark, sf):
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
