@@ -1128,3 +1128,30 @@ def batch_sessionize(spark, sf):
             "n_events",
         )
     )
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey), 9) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey), 9) AS cd
+    FROM orders
+    """,
+)
+def window_distribution(spark, sf):
+    """C21 completion: distribution window functions (percent_rank,
+    cume_dist) per order-status partition. o_orderkey in the ORDER BY
+    makes the frame ordering total, so both engines produce identical
+    rank positions; 9-decimal rounding kills representation noise in the
+    rank ratios."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
