@@ -142,22 +142,15 @@ def main() -> None:
         run_scaling()
         return
 
-    from ner_spark.session import get_spark
+    from ner_spark.session import get_spark, kg_task_cpus
 
     sf = _sf_of(a.sf_dir)
-    # KG session: spark.task.cpus=2 at high core counts. Every pandas-UDF
-    # task pins one JVM thread AND one Python worker process, so plain
-    # local[32] keeps ~64 hot threads runnable on 32 cores and the job runs
-    # ~2.5x slower than at local[16] (measured — see BENCH/BASELINE.md).
-    # task.cpus=2 sizes the slot count so concurrent tasks ≈ physical
-    # cores; on a real cluster the same knob (or one executor core per
-    # task + pyspark memory headroom) is standard sizing for python-heavy
-    # stages. Low core counts (the N vs 4N scaling pair) keep 1 cpu/task.
-    m = re.match(r"local\[(\d+)\]", a.master or f"local[{CPUS}]")
-    cpus = int(m.group(1)) if m else CPUS
-    task_cpus = os.environ.get(
-        "SPARK_GRAFT_TASK_CPUS", "2" if cpus >= 16 else "1"
-    )
+    # KG session slot sizing: ner_spark.session.kg_task_cpus — the one
+    # shared policy (jobs/build_kg.py uses the same helper, so the bench
+    # and the production entrypoint cannot diverge on the sizing that
+    # BENCH/BASELINE.md documents). Low core counts (the N vs 4N scaling
+    # pair) keep 1 cpu/task.
+    task_cpus = kg_task_cpus(a.master)
     kg_extra = {"spark.task.cpus": task_cpus} if task_cpus != "1" else {}
     spark = get_spark(master=a.master, app="ner-spark-bench", extra=kg_extra)
     timings: dict[str, float] = {}
@@ -166,11 +159,17 @@ def main() -> None:
     kg = run_kg(spark, _kg_size(sf))
     timings["kg_pipeline"] = kg["sec"]
 
+    restart_sec = 0.0
     if not a.kg_only and kg_extra:
         # headline Layer-C queries are JVM-side (no python workers): give
-        # them back the full slot count in a fresh context
+        # them back the full slot count in a fresh context. The restart is
+        # timed separately and excluded from the headline total — it is
+        # harness plumbing, not query cost, and including it skews
+        # comparisons against --kg-only runs that never restart
+        t_r = time.perf_counter()
         spark.stop()
         spark = get_spark(master=a.master, app="ner-spark-bench")
+        restart_sec = round(time.perf_counter() - t_r, 3)
 
     if not a.kg_only:
         import ner_spark.queries_relational  # noqa: F401
@@ -181,7 +180,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, a.sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+    total = round(time.perf_counter() - t_all - restart_sec, 3)
 
     result = {
         "metric": "kg_pipeline+headline_queries_wall",
@@ -190,6 +189,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "kg": kg,
+        "restart_sec": restart_sec,
         "master": a.master or f"local[{CPUS}]",
     }
     line = json.dumps(result)

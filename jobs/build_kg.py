@@ -55,21 +55,15 @@ def main() -> None:
     )
     a = ap.parse_args()
 
-    import re
-
     import pandas as pd
 
     from ner_spark.plans.kg import build_kg
-    from ner_spark.session import get_spark
+    from ner_spark.session import get_spark, kg_task_cpus
 
-    task_cpus = a.task_cpus
-    if task_cpus is None:
-        m = re.match(
-            r"local\[(\d+)\]",
-            a.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        )
-        task_cpus = 2 if (m and int(m.group(1)) >= 16) else 1
-    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus != 1 else {}
+    task_cpus = (
+        str(a.task_cpus) if a.task_cpus is not None else kg_task_cpus(a.master)
+    )
+    extra = {"spark.task.cpus": task_cpus} if task_cpus != "1" else {}
     spark = get_spark(master=a.master, app=f"kg-build-{a.run_id}", extra=extra)
     if a.fixture:
         from fixtures.gen import ensure_fixture_dir

@@ -33,10 +33,18 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, n_bands: int = 8) -> DataFrame:
-    """(doc_id, band, minhash bigint): per-row banded minhash via
+def minhash_signatures(
+    sh: DataFrame, n_bands: int = 8, hash_fn=F.xxhash64
+) -> DataFrame:
+    """(doc_id, band, minhash): per-row banded minhash via
     array_min(transform(...)) — zero shuffle before the signature join,
-    the property that keeps LSH linear at scale (no shingle explode)."""
+    the property that keeps LSH linear at scale (no shingle explode).
+
+    ``hash_fn`` is the only axis the two variants differ on: xxhash64
+    (bigint, JVM intrinsic) for the production path, F.md5 (hex string,
+    bit-identical in DuckDB) for the differential oracle pair — ONE copy
+    of the banding/self-join scaffolding serves both, so tokenization or
+    threshold changes cannot silently diverge them."""
 
     def band_min(band: int):
         # one-arg lambda factory: a default-arg lambda would be read by
@@ -44,7 +52,7 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8) -> DataFrame:
         return F.array_min(
             F.transform(
                 "shingles",
-                lambda s: F.xxhash64(F.concat(F.lit(f"{band}|"), s)),
+                lambda s: hash_fn(F.concat(F.lit(f"{band}|"), s)),
             )
         )
 
@@ -61,12 +69,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_bands: int = 8,
     min_band_hits: int = 2,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a, doc_b, n_band_hits): docs colliding
     in >= min_band_hits bands. The self-join is equi on (band, minhash), so
     the LSH buckets ARE the shuffle partitions; per-bucket fan-out is
     bounded by bucket size, the standard LSH contract."""
-    sig = minhash_signatures(shingles(docs, text_col), n_bands)
+    sig = minhash_signatures(shingles(docs, text_col), n_bands, hash_fn)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

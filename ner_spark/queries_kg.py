@@ -114,7 +114,10 @@ def stream_windowed_mentions(spark, sf):
             .queryName("stream_windowed_mentions")
             .start()
         )
-        q.awaitTermination(300)
+        # raise on drain timeout (instead of deleting the checkpoint under
+        # a still-running query and reading a partial sink) — same
+        # contract as every other stream entry via _await_drained
+        S._await_drained(q, "stream_windowed_mentions", 300)
     return spark.table("stream_windowed_mentions")
 
 

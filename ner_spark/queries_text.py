@@ -206,19 +206,12 @@ _SHINGLE_SQL = """
 
 
 def _shingles_df(spark, sf):
-    d = t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    return (
-        d.where(F.size(toks) >= 3)
-        .select("doc_id", F.array_distinct(sh).alias("shingles"))
-    )
+    # single shingling implementation, shared with the production path
+    # (ner_spark/functions/dedup.py) so the differential and xxhash64
+    # variants can never tokenize differently
+    from ner_spark.functions.dedup import shingles
+
+    return shingles(t(spark, sf, "documents"))
 
 
 @register(
@@ -307,35 +300,12 @@ def dedup_minhash_lsh(spark, sf):
     array_min(transform(...)) — no shingle explode, no shuffle before the
     (8 rows/doc) signature self-join. The naive explode(shingles) x bands
     + groupBy formulation shuffles ~shingles*8 rows (~80M at sf0.1) and
-    was ~20x slower end-to-end."""
-    sh = _shingles_df(spark, sf)
+    was ~20x slower end-to-end. Implementation is the shared LSH
+    scaffold in ner_spark/functions/dedup.py with hash_fn=F.md5 — the
+    xxhash64 production variant differs ONLY in the hash."""
+    from ner_spark.functions.dedup import minhash_lsh_pairs
 
-    # one-arg lambda factory: a `lambda s, b=band` would be treated by
-    # F.transform as an (element, index) binary lambda and b would receive
-    # the array index instead of the band constant
-    def _band_min(band):
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
-        )
-
-    sig = sh.select(
-        "doc_id",
-        F.posexplode(F.array(*[_band_min(b) for b in range(8)])).alias(
-            "band", "minhash"
-        ),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_band_hits"))
-        .where(F.col("n_band_hits") >= 2)
-    )
+    return minhash_lsh_pairs(t(spark, sf, "documents"), hash_fn=F.md5)
 
 
 @register("dedup_minhash_fast")
@@ -483,38 +453,9 @@ def ann_topk_bruteforce(spark, sf):
     Scale shape: the SMALL query sample is the broadcast side and the
     full embedding table streams map-side past it — broadcasting the
     N-row table (the reverse orientation) would ship the whole index to
-    every task and cap N at the broadcast limit."""
-    e = t(spark, sf, "embeddings")
-    dot_self = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    e = e.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
-    q = e.where(F.col("vec_id") < 5)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q.embedding"), F.col("e.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        e.alias("e")
-        .join(F.broadcast(q.alias("q")), F.col("q.vec_id") != F.col("e.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("e.vec_id").alias("neighbor_id"),
-            F.round(dot / (F.col("q.nrm") * F.col("e.nrm")), 9).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    every task and cap N at the broadcast limit. Implementation lives in
+    _bf_topk (shared with ann_recall)."""
+    return _bf_topk(spark, sf, 5, 3, with_score=True)
 
 
 @register(
@@ -765,11 +706,13 @@ def dedup_cluster(spark, sf):
     )
 
 
-def _bf_topk(spark, sf, n_queries, k):
+def _bf_topk(spark, sf, n_queries, k, with_score=False):
     """Brute-force cosine top-k (query vec_id < n_queries), deterministic
     9-decimal rank rounding + neighbor_id tiebreak (shared with the ANN
     variants so recall joins are exact). The query sample is the
-    broadcast side; the full table streams past it map-side."""
+    broadcast side; the full table streams past it map-side. The SINGLE
+    brute-force implementation — ann_topk_bruteforce and ann_recall both
+    delegate here so rounding/tiebreak semantics cannot diverge."""
     e = t(spark, sf, "embeddings")
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -796,11 +739,11 @@ def _bf_topk(spark, sf, n_queries, k):
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    out = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    cols = ["query_id", "neighbor_id"]
+    if with_score:
+        return out.select(*cols, F.round("cos_sim", 4).alias("cos_sim"))
+    return out.select(*cols)
 
 
 @register(

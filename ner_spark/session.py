@@ -31,6 +31,25 @@ DEFAULTS = {
 }
 
 
+def kg_task_cpus(master: str | None = None) -> str:
+    """spark.task.cpus sizing for python-heavy (pandas-UDF) jobs — the ONE
+    place this policy lives (bench.py and jobs/build_kg.py both use it).
+    Each pandas-UDF task pins a JVM thread AND a python worker, so local
+    masters with >= 16 cores get 2 cpus/task (task slots ≈ physical
+    cores; measured 110s → ~43s at local[32], BENCH/BASELINE.md).
+    Override with SPARK_GRAFT_TASK_CPUS."""
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    if env:
+        return env
+    m = re.match(
+        r"local\[(\d+)\]",
+        master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    return "2" if (m and int(m.group(1)) >= 16) else "1"
+
+
 def get_spark(
     master: str | None = None,
     app: str = "ner-spark",

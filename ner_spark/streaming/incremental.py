@@ -170,23 +170,39 @@ def _mentions_pdf(pdf: pd.DataFrame, b: dict) -> pd.DataFrame:
 # S4 — stateful per-conversation processing (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 STATEFUL_MENTIONS_SCHEMA = MENTIONS_SCHEMA.replace(", ctx_emb binary", "")
-# compact exactly-once state: every turn_idx < wm is processed, plus the
-# sparse set of out-of-order turn_idx >= wm already processed. For the
-# common in-order arrival the state is ONE int regardless of conversation
-# length — the naive full turn_idx array held ~10^6 ints for the hot
-# conversations the salting work targets, growing without bound under
+# compact exactly-once state: the processed turn_idx set as sorted
+# disjoint half-open intervals [start, end). In-order arrival keeps ONE
+# interval regardless of conversation length; state is O(#gaps) for ANY
+# arrival pattern — unlike a contiguous-from-zero watermark, which
+# silently regrows to O(conversation length) the moment a conversation's
+# indices do not start at 0 or permanently skip a turn (the hot ~10^6-turn
+# conversations the salting work targets are exactly where that bound
+# must hold). The naive full turn_idx array grew without bound under
 # GroupStateTimeout.NoTimeout.
-_STATE_SCHEMA = "wm int, ahead array<int>"
+_STATE_SCHEMA = "starts array<int>, ends array<int>"
+
+
+def _merge_intervals(ivs: list, points: list) -> list:
+    """Merge sorted-or-not intervals [s, e) with single indices into a
+    minimal sorted disjoint list (adjacent intervals coalesce)."""
+    items = sorted(list(ivs) + [(p, p + 1) for p in points])
+    out: list = []
+    for s, e in items:
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
 
 
 def stateful_incremental_mentions(
     stream: DataFrame, gazetteer_pdf: pd.DataFrame, spark: SparkSession
 ) -> DataFrame:
-    """Per-conversation stateful NLP: state = (high-watermark, out-of-order
-    set) of processed turn_idx, so a turn is decoded exactly once even
-    across source replays / overlapping micro-batches (stronger than
-    watermark dedup: no time bound) while the state stays O(gap), not
-    O(conversation length)."""
+    """Per-conversation stateful NLP: state = the processed turn_idx set
+    as disjoint intervals, so a turn is decoded exactly once even across
+    source replays / overlapping micro-batches (stronger than watermark
+    dedup: no time bound) while the state stays O(#gaps), not
+    O(conversation length) — for any starting index or arrival order."""
     sc = spark.sparkContext
     model = build_model()
     bc = sc.broadcast(
@@ -204,29 +220,27 @@ def stateful_incremental_mentions(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            wm, ahead = state.get
-            ahead = set(ahead)
+            starts, ends = state.get
+            ivs = list(zip(starts, ends))
         else:
-            wm, ahead = 0, set()
+            ivs = []
         b = bc.value
         for pdf in batches:
             # state filters cross-batch replays; drop_duplicates filters
             # copies arriving inside the same micro-batch chunk
-            ti = pdf["turn_idx"]
-            fresh = pdf[(ti >= wm) & ~ti.isin(ahead)].drop_duplicates(
-                subset=["turn_idx"]
-            )
+            s_arr = np.fromiter((s for s, _ in ivs), dtype=np.int64, count=len(ivs))
+            e_arr = np.fromiter((e for _, e in ivs), dtype=np.int64, count=len(ivs))
+            ti = pdf["turn_idx"].to_numpy()
+            idx = np.searchsorted(s_arr, ti, side="right") - 1
+            covered = (idx >= 0) & (ti < e_arr[np.clip(idx, 0, None)]) if len(ivs) else np.zeros(len(ti), dtype=bool)
+            fresh = pdf[~covered].drop_duplicates(subset=["turn_idx"])
             if not len(fresh):
                 continue
-            ahead.update(int(t) for t in fresh["turn_idx"])
-            # advance the watermark over the now-contiguous prefix
-            while wm in ahead:
-                ahead.discard(wm)
-                wm += 1
+            ivs = _merge_intervals(ivs, [int(t) for t in fresh["turn_idx"]])
             out = _mentions_pdf(fresh, b).drop(columns=["ctx_emb"])
             if len(out):
                 yield out
-        state.update((wm, sorted(ahead)))
+        state.update(([s for s, _ in ivs], [e for _, e in ivs]))
 
     return (
         stream.select("conv_id", "turn_idx", "text")

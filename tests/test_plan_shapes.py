@@ -55,7 +55,7 @@ def test_ivf_assignment_is_partial_aggregate_not_window(spark):
     assert "partial_min_by" in plan
     # every Window left in the plan is the bounded per-query top-3, never
     # one partitioned by vec_id (the old N x k assignment shape)
-    windows = [l for l in plan.splitlines() if "Window [" in l or "Window [" in l]
+    windows = [l for l in plan.splitlines() if "Window [" in l]
     assert all("query_id" in w for w in windows), windows
     assert not any(
         "windowspecdefinition(vec_id" in l for l in plan.splitlines()

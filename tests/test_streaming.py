@@ -133,3 +133,67 @@ def test_session_windows_batch_parity(spark, small_inputs, stream_tx, tmp_path):
     pd.testing.assert_frame_equal(_sorted(got, key)[cols],
                                   _sorted(finalized, key)[cols])
     assert len(withheld) == len(exp) - len(got) and len(got) > 0
+
+
+def test_merge_intervals_unit():
+    """Interval-set state primitive: minimal disjoint sorted cover."""
+    m = S._merge_intervals
+    assert m([], [3]) == [(3, 4)]
+    assert m([(3, 4)], [4]) == [(3, 5)]                      # adjacent coalesce
+    assert m([(0, 2), (5, 7)], [2, 3, 4]) == [(0, 7)]        # gap fill joins
+    assert m([(0, 1)], [10]) == [(0, 1), (10, 11)]           # disjoint stays
+    assert m([(5, 9)], [6, 7]) == [(5, 9)]                   # covered no-op
+    assert m([], [9, 5, 7]) == [(5, 6), (7, 8), (9, 10)]     # unsorted points
+
+
+def test_stateful_mentions_offset_and_gapped_turn_idx(spark, small_inputs,
+                                                      tmp_path):
+    """S4 state must stay exactly-once AND compact when a conversation's
+    turn_idx does not start at 0 and permanently skips an index — the
+    contiguous-from-zero watermark formulation silently regrew state to
+    O(n) here; the interval-set state handles any index pattern."""
+    from ner_spark.nlp.stage import detect_mentions
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # texts the fixture model actually detects mentions in
+    texts = [
+        r["text"]
+        for r in small_inputs["transcripts"].limit(6).collect()
+    ]
+    rows = []
+    n = 0
+    for conv, idxs in [("cA", [5, 6, 8, 9]), ("cB", [1000000, 1000002])]:
+        for k, ti in enumerate(idxs):
+            rows.append(
+                (conv, ti, "user", texts[n % len(texts)], None,
+                 base + pd.Timedelta(minutes=k))
+            )
+            n += 1
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")  # match TRANSCRIPT_SCHEMA
+    src = tmp_path / "offset_stream"
+    src.mkdir()
+    pdf.iloc[:3].to_parquet(src / "p0.parquet", index=False)
+    pdf.iloc[3:].to_parquet(src / "p1.parquet", index=False)
+
+    stream = S.stream_transcripts(spark, str(src), max_files_per_trigger=1)
+    doubled = stream.union(stream)  # every turn delivered twice
+    st = S.stateful_incremental_mentions(
+        doubled, small_inputs["gazetteer_pdf"], spark
+    )
+    got = S.run_available_now(st, str(tmp_path / "ck_off"), "s_state_off"
+                              ).toPandas()
+    exp = (
+        detect_mentions(
+            spark.createDataFrame(pdf), small_inputs["gazetteer_pdf"], spark
+        )
+        .drop("ctx_emb")
+        .toPandas()
+    )
+    assert len(exp) > 0  # the fixture text must actually produce mentions
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(got, KEY)[cols], _sorted(exp, KEY)[cols]
+    )
