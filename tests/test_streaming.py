@@ -197,3 +197,34 @@ def test_stateful_mentions_offset_and_gapped_turn_idx(spark, small_inputs,
     pd.testing.assert_frame_equal(
         _sorted(got, KEY)[cols], _sorted(exp, KEY)[cols]
     )
+
+
+def test_merge_intervals_property():
+    """Property (hypothesis): _merge_intervals over any sequence of point
+    batches is equivalent to the naive processed-set model, and the
+    interval list stays minimal (sorted, disjoint, non-adjacent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=-50, max_value=50), max_size=12),
+            max_size=8,
+        )
+    )
+    def run(batches):
+        ivs, model = [], set()
+        for points in batches:
+            ivs = S._merge_intervals(ivs, points)
+            model |= set(points)
+            # equivalence: interval cover == the naive set
+            cover = {x for s, e in ivs for x in range(s, e)}
+            assert cover == model
+            # minimality: sorted, disjoint, and never adjacent
+            assert all(
+                ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1)
+            )
+            assert all(s < e for s, e in ivs)
+
+    run()
