@@ -1155,3 +1155,174 @@ def window_distribution(spark, sf):
         F.round(F.percent_rank().over(w), 9).alias("pr"),
         F.round(F.cume_dist().over(w), 9).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: more Catalyst decorrelation shapes, IGNORE NULLS
+# windows, lateral explode (C21/C22 completion + §4.1 optimizer rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_small_qty",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_qty(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated AVG
+    subquery against the *fact* table, filtered by a selective dim
+    predicate. The scale-critical rewrite is Catalyst's decorrelation:
+    the optimized plan computes one per-partkey AVG aggregate over
+    lineitem and joins it back (agg + join), instead of re-scanning
+    lineitem per outer row — at 100 TB that is the difference between
+    2 passes and N passes. p_brand pushes into the part scan and the
+    brand-filtered part side broadcasts into both the outer join and
+    (post-decorrelation) the threshold join. Threshold comparison uses
+    exact small-int arithmetic (quantities are whole numbers, AVG of
+    <=50-row groups is exact in double on both engines); only the final
+    single-row sum is rounded."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("__li_q17")
+    t(spark, sf, "part").createOrReplaceTempView("__part_q17")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM __li_q17 JOIN __part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM __li_q17 l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 6) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume(spark, sf):
+    """TPC-H Q18 shape (large-volume customer): IN-subquery over a
+    grouped HAVING aggregate. Catalyst rewrites the IN to a left-semi
+    join against the aggregated keys (RewritePredicateSubquery), so the
+    physical plan is agg(lineitem) -> semi-join -> 3-way join -> agg ->
+    TakeOrderedAndProject. At scale the semi side is tiny (orders whose
+    total quantity exceeds the threshold) and AQE broadcasts it,
+    pre-filtering the lineitem re-scan before the wide join. Quantity
+    sums are exact (<=7 whole-number lineitems per order); the 250
+    threshold lands ~1 per 100 orders in the driver data so the result
+    is non-vacuous at every sf."""
+    t(spark, sf, "customer").createOrReplaceTempView("__cust_q18")
+    t(spark, sf, "orders").createOrReplaceTempView("__ord_q18")
+    t(spark, sf, "lineitem").createOrReplaceTempView("__li_q18")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(SUM(l_quantity), 6) AS total_qty
+        FROM __cust_q18
+        JOIN __ord_q18 ON c_custkey = o_custkey
+        JOIN __li_q18 ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM __li_q18
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT event_id, user_id,
+           ROUND(FIRST_VALUE(value) OVER w_run, 6) AS first_val,
+           ROUND(LAST_VALUE(value) OVER w_full, 6) AS last_val,
+           ROUND(NTH_VALUE(value, 2) OVER w_full, 6) AS second_val,
+           ROUND(FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                 IGNORE NULLS) OVER w_run, 6) AS first_purchase_val
+    FROM events
+    WINDOW
+      w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf):
+    """C21/C22 completion: first_value / last_value / nth_value with
+    explicit frames, plus IGNORE NULLS (running 'first purchase seen so
+    far' — NULL until the user's first purchase event). The full-frame
+    variants pin the classic last_value footgun (default frame stops at
+    CURRENT ROW); the ordering is total (ts, event_id) so both engines
+    agree row-for-row. One shuffle on user_id; all four functions share
+    the same sort."""
+    e = t(spark, sf, "events")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w_run), 6).alias("first_val"),
+        F.round(F.last("value").over(w_full), 6).alias("last_val"),
+        F.round(F.nth_value("value", 2).over(w_full), 6).alias("second_val"),
+        F.round(F.first(purchase_val, ignorenulls=True).over(w_run), 6).alias(
+            "first_purchase_val"
+        ),
+    )
+
+
+@register(
+    "explode_lateral",
+    """
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           ROUND(CAST(embedding[pos + 1] AS DOUBLE), 6) AS val
+    FROM embeddings, range(8) r(pos)
+    WHERE pos < len(embedding)
+    """,
+)
+def explode_lateral(spark, sf):
+    """Lateral array expansion (posexplode) — the generator-expression
+    row-multiplier every shingle/posting-list operator in queries_text
+    builds on, exercised directly: first 8 dims of each embedding with
+    their ordinal. Generate is pipelined inside whole-stage codegen (no
+    shuffle, no Python); the pos<8 cut happens before the generate via
+    slice so only 8 elements per row are materialized. Oracle uses a
+    bounded range join (DuckDB's UNNEST has no ordinality clause)."""
+    e = t(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+    )
