@@ -210,3 +210,26 @@ def kg_eval_prf(spark, sf):
         spark,
     )
     return span_prf(pred, gold).orderBy("ner_type")
+
+
+@register(
+    "stream_join_clicks",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           ROUND(p.value, 6) AS purchase_value
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+    """,
+)
+def stream_join_clicks(spark, sf):
+    """Stream-stream watermarked interval join over the events table —
+    the one S-suite shape round 1 lacked. Drained with availableNow in a
+    single micro-batch, so the result is row-identical to the batch
+    interval join and carries a full DuckDB differential (the only
+    stream entry with a value-level oracle)."""
+    from ner_spark.streaming import incremental as S
+
+    j = S.stream_click_purchase_join(spark, sf)
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(j, ckpt, "q_stream_join_clicks")

@@ -1326,3 +1326,125 @@ def explode_lateral(spark, sf):
             F.round(F.col("val").cast("double"), 6).alias("val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join + distributed sketches (100-TB layout/approx ops)
+# ---------------------------------------------------------------------------
+
+# session-scoped registry of already-written bucketed table pairs
+_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_bucketed(spark, sf) -> tuple[str, str]:
+    """Write orders/lineitem as bucketed+sorted tables (8 buckets on the
+    join key) into a per-session temp warehouse, once per (session, sf).
+
+    The write repartitions by the bucket key first: repartition's hash
+    (murmur3 pmod n) is the same function bucketing uses, so every task
+    holds exactly one bucket and each bucket lands in ONE file — the
+    precondition for Spark to mark the scan output as both hash-
+    partitioned AND sorted, eliminating the Exchange and the Sort under
+    a join on the bucket key. On a warehouse this layout cost is paid
+    once at ingest and amortized over every subsequent co-located join."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_")
+    key = f"{tag}@{id(spark)}"
+    if key in _BUCKETED:
+        return _BUCKETED[key]
+    names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+    base = tempfile.mkdtemp(prefix="ner_spark_bucketed_")
+    for name, src, bkey in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            t(spark, sf, src)
+            .repartition(8, F.col(bkey))
+            .write.bucketBy(8, bkey)
+            .sortBy(bkey)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    _BUCKETED[key] = names
+    return names
+
+
+@register(
+    "join_bucketed",
+    """
+    SELECT o_orderstatus, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    """,
+)
+def join_bucketed(spark, sf):
+    """Shuffle-free co-located join via bucketing: both fact tables are
+    bucketed+sorted on the join key (8 buckets, one file per bucket), so
+    the SortMergeJoin consumes the scans' existing distribution — no
+    Exchange and no Sort on either side (pinned by
+    tests/test_plan_shapes.py). This is the §4/scale answer to the
+    repeated orders⋈lineitem join: at 100 TB the bucketed layout turns
+    every such join from a full 2-sided shuffle into a local merge.
+    Results are identical to the plain parquet join, which is what the
+    oracle checks."""
+    o_name, li_name = _ensure_bucketed(spark, sf)
+    o = spark.table(o_name)
+    li = spark.table(li_name)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue"),
+        )
+    )
+
+
+@register("sketch_distinct_quantiles")
+def sketch_distinct_quantiles(spark, sf):
+    """Distributed sketches — the 100-TB substitute for exact DISTINCT /
+    exact percentiles: Apache DataSketches HLL (hll_sketch_agg) built
+    per group, merged across groups with hll_union_agg (the two-phase
+    shape a warehouse uses: persist per-partition sketch bytes, merge at
+    read time), plus HLL++ approx_count_distinct and t-digest-style
+    approx_percentile. All are partial-aggregable: map-side combine
+    produces fixed-size state regardless of input rows, so the shuffle
+    carries sketches, not values.
+
+    No SQL oracle — sketch estimates are engine-specific by design
+    (driver records rows-only); tests/test_sketches.py bounds the
+    estimates against exact counts/percentiles (|err| <= 5%)."""
+    e = t(spark, sf, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("event_id").alias("sk"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("n_ids_hllpp"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95), 10000)"
+        ).alias("pcts"),
+    )
+    per_type_out = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("n_ids_hll"),
+        "n_ids_hllpp",
+        F.round(F.element_at("pcts", 1), 6).alias("p50"),
+        F.round(F.element_at("pcts", 2), 6).alias("p95"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_ids_hll")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "n_ids_hll",
+        F.lit(None).cast("long").alias("n_ids_hllpp"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p95"),
+    )
+    return per_type_out.unionByName(merged)

@@ -323,3 +323,61 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> DataFram
     )
     _await_drained(q, path)
     return stream_df.sparkSession.read.parquet(path)
+
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (S-suite completion): clicks
+    joined to the purchases made by the same user in the preceding hour,
+    both sides file streams over the driver events table.
+
+    The time-range predicate (purchase_ts in [click_ts - 1h, click_ts])
+    plus the 1h watermarks bound the join state on both sides — Spark
+    evicts click state once the purchase-side watermark passes click_ts,
+    and vice versa, so state is O(events per hour), not O(stream). At
+    scale the equi-part of the condition (user_id) is the state-store
+    partition key; the range part is evaluated within the key's state.
+
+    Batch parity on bounded input: the source is a single parquet file,
+    so availableNow drains it in ONE micro-batch; the watermark only
+    advances after that batch, so no row is late and the result equals
+    the batch interval join (the registered DuckDB oracle). The
+    multi-batch late-data path is exercised in tests/test_streaming.py.
+    """
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            # file-stream sources need a directory: stream sf_dir with a
+            # glob filter instead of the single events.parquet file
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    return clicks.join(
+        purchases,
+        F.expr(
+            "click_user_id = purchase_user_id AND "
+            "purchase_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("click_user_id").alias("user_id"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

@@ -101,3 +101,47 @@ def test_subquery_corr_scalar_is_decorrelated(spark):
     # surviving scalar-subquery node would mean per-row re-execution
     assert "scalar-subquery" not in opt.lower()
     assert "Aggregate" in opt and "Join" in opt
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # the §4 bucketing contract: both sides bucketed+sorted on the join
+    # key -> SortMergeJoin directly over the scans, zero shuffles even
+    # with broadcast disabled (at real scale neither side broadcasts)
+    from ner_spark.queries_relational import _ensure_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o_n, li_n = _ensure_bucketed(spark, SF_DIR)
+        o, li = spark.table(o_n), spark.table(li_n)
+        j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_extendedprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_q18_semi_join_rewrite(spark):
+    # IN (grouped HAVING subquery) must become a semi join against the
+    # aggregated keys, never a per-row subquery re-execution
+    plan = _plan(spark, "tpch_q18_large_volume")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_is_decorrelated_to_agg_join(spark):
+    # the correlated AVG must plan as one per-partkey aggregate joined
+    # back (2 passes total), not a correlated re-scan
+    plan = _plan(spark, "tpch_q17_small_qty")
+    assert "partial_avg" in plan
+    assert "Subquery" not in plan  # no per-row scalar subquery node
+
+
+def test_explode_is_pipelined_generate(spark):
+    plan = _plan(spark, "explode_lateral")
+    assert "Generate posexplode" in plan
+    assert "Exchange" not in plan  # row expansion never shuffles

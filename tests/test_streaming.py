@@ -228,3 +228,70 @@ def test_merge_intervals_property():
             assert all(s < e for s, e in ivs)
 
     run()
+
+
+def test_stream_stream_join_multibatch_parity(spark, tmp_path):
+    """Stream-stream interval join across MULTIPLE micro-batches: events
+    split into 3 time-ordered files, one file per trigger. With the 1h
+    watermark delay and <=1h join range, no in-order row is ever late, so
+    the multi-batch drain must equal the batch interval join exactly —
+    this is the state-eviction-correctness check the single-batch harness
+    entry can't provide."""
+    import duckdb
+
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    src = src.sort_values("ts").reset_index(drop=True)
+    d = tmp_path / "events_split"
+    d.mkdir()
+    n = len(src)
+    for i in range(3):
+        src.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(
+            d / f"part{i}.parquet", index=False
+        )
+
+    from pyspark.sql import functions as F
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.schema(S.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    j = side("click", "click").join(
+        side("purchase", "purchase"),
+        F.expr(
+            "click_user_id = purchase_user_id AND "
+            "purchase_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+        ),
+    ).select("click_id", "purchase_id")
+    got = (
+        S.run_available_now(j, str(tmp_path / "ck_ssj"), "s_ssjoin")
+        .toPandas()
+        .sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM '/root/testdata/sf0.001/events.parquet' c
+        JOIN '/root/testdata/sf0.001/events.parquet' p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        ORDER BY click_id, purchase_id
+        """
+    ).df()
+    con.close()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_names=False
+    )
