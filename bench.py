@@ -58,12 +58,19 @@ HEADLINE = [
     "window_rank_topk",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_volume",
+    "join_bucketed",
+    "scan_partition_pruned",
     "batch_sessionize",
+    "sketch_distinct_quantiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
     "ann_topk_bruteforce",
+    "ann_topk_arrow",
     "text_quality_score",
+    "stream_join_clicks",
 ]
 
 

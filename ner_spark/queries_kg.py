@@ -233,3 +233,35 @@ def stream_join_clicks(spark, sf):
     j = S.stream_click_purchase_join(spark, sf)
     with tempfile.TemporaryDirectory() as ckpt:
         return S.run_available_now(j, ckpt, "q_stream_join_clicks")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, c.c_name, ROUND(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark, sf):
+    """Stream-static join: the purchase stream enriched against the
+    static customer dim — stateless (each micro-batch joins the static
+    side fresh, no watermark needed), so stream output equals the batch
+    join on any trigger cadence; the static side is re-planned per batch
+    which is what keeps it broadcastable at scale. Full DuckDB oracle."""
+    from ner_spark.streaming import incremental as S
+
+    purchases = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .where(F.col("event_type") == "purchase")
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    j = purchases.join(
+        F.broadcast(cust), purchases.user_id == cust.c_custkey
+    ).select("event_id", "c_name", F.round("value", 6).alias("value"))
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(j, ckpt, "q_stream_static_enrich")

@@ -1448,3 +1448,85 @@ def sketch_distinct_quantiles(spark, sf):
         F.lit(None).cast("double").alias("p95"),
     )
     return per_type_out.unionByName(merged)
+
+
+@register(
+    "join_null_aware_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def join_null_aware_anti(spark, sf):
+    """NOT IN anti join — the null-aware variant (C13 completion):
+    standard SQL NOT IN returns no rows if the subquery produces a
+    single NULL, so Spark cannot plan a plain LeftAnti; it plans a
+    null-aware anti join (BroadcastHashJoin LeftAnti with
+    isNullAwareAntiJoin=true) that tracks subquery-side nulls at run
+    time. The subquery side (high-value order custkeys) is tiny and
+    broadcast; the customer scan streams past it map-side — at 100 TB
+    this stays a zero-shuffle scan-side filter. Plan pinned in
+    tests/test_plan_shapes.py."""
+    t(spark, sf, "customer").createOrReplaceTempView("__cust_naaj")
+    t(spark, sf, "orders").createOrReplaceTempView("__ord_naaj")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM __cust_naaj
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM __ord_naaj WHERE o_totalprice > 400000)
+        """
+    )
+
+
+# session-scoped registry of partitioned-layout event tables
+_PARTITIONED: dict[str, str] = {}
+
+
+def _ensure_partitioned_events(spark, sf) -> str:
+    """Write the events table hive-partitioned by event_type, once per
+    (session, sf) — the disk layout a 100-TB warehouse uses so that
+    partition-key predicates prune directories at file-listing time
+    instead of reading+filtering."""
+    import re
+    import tempfile
+
+    key = f"{re.sub(r'[^0-9a-zA-Z]+', '_', str(sf))}@{id(spark)}"
+    if key not in _PARTITIONED:
+        path = tempfile.mkdtemp(prefix="ner_spark_parted_")
+        t(spark, sf, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+        _PARTITIONED[key] = path
+    return _PARTITIONED[key]
+
+
+@register(
+    "scan_partition_pruned",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50
+    GROUP BY user_id
+    """,
+)
+def scan_partition_pruned(spark, sf):
+    """Static partition pruning (C3/C4 at the layout level): events
+    written partitioned by event_type, read back with a partition-key
+    predicate — the scan lists only the matching directory
+    (PartitionFilters in the plan; 1-of-5 partitions read, pinned in
+    tests/test_plan_shapes.py) while the value predicate pushes into the
+    parquet row groups as a DataFilter. Same answer as filtering the
+    unpartitioned table, which is what the oracle checks."""
+    path = _ensure_partitioned_events(spark, sf)
+    e = spark.read.parquet(path)
+    return (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -819,3 +819,87 @@ def ann_recall(spark, sf):
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "ann_topk_arrow",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) *
+                        CAST(e.embedding[i] AS DOUBLE)))
+                   / (q.nrm * e.nrm), 9) AS cos_sim
+      FROM q JOIN e ON q.vec_id <> e.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def ann_topk_arrow(spark, sf):
+    """Brute-force cosine top-k via mapInArrow (§2.10 completion: the
+    lowest-overhead Python crossing — zero-copy Arrow batches into one
+    numpy matmul per batch, no pandas materialization). Same semantics
+    and same oracle as ann_topk_bruteforce: 9-decimal rank rounding,
+    neighbor_id tiebreak, top-3 per query.
+
+    Scale shape: the query matrix (bounded sample) rides the task
+    closure; each Arrow batch is scored with a single (q x d) @ (d x n)
+    matmul and reduced to a LOCAL top-3 per query before emitting, so
+    the final exchange carries O(n_queries * 3 * n_batches) candidate
+    rows, never the N scored rows — the classic map-side top-k combine."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = t(spark, sf, "embeddings")
+    qp = (
+        e.where(F.col("vec_id") < 5).select("vec_id", "embedding").toPandas()
+    )  # bounded query sample (5 rows) — rides the closure as a broadcast
+    q_ids = qp["vec_id"].to_numpy()
+    Q = np.stack(qp["embedding"].to_numpy()).astype(np.float64)
+    q_nrm = np.sqrt((Q * Q).sum(axis=1))
+    k = 3
+
+    def score(batches):
+        for b in batches:
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            emb_arr = b.column("embedding")
+            flat = np.asarray(emb_arr.flatten(), dtype=np.float64)
+            E = flat.reshape(len(vid), -1)
+            e_nrm = np.sqrt((E * E).sum(axis=1))
+            cos = np.round(Q @ E.T / np.outer(q_nrm, e_nrm), 9)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = vid != qid
+                cand_c, cand_n = cos[qi][mask], vid[mask]
+                # local top-k: highest cos first, lowest neighbor_id tiebreak
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+                    "neighbor_id": pa.array(np.asarray(out_n, dtype=np.int64)),
+                    "cos_sim": pa.array(np.asarray(out_c, dtype=np.float64)),
+                }
+            )
+
+    cands = e.select("vec_id", "embedding").mapInArrow(
+        score, "query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cands.select(
+            "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )

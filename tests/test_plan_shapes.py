@@ -145,3 +145,53 @@ def test_explode_is_pipelined_generate(spark):
     plan = _plan(spark, "explode_lateral")
     assert "Generate posexplode" in plan
     assert "Exchange" not in plan  # row expansion never shuffles
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    plan = _plan(spark, "join_null_aware_anti")
+    # trailing 'true' on the BHJ line = isNullAwareAntiJoin
+    assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_partitioned_scan_prunes_on_partition_key(spark):
+    plan = _plan(spark, "scan_partition_pruned")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # the partition-key predicate prunes directories at listing time...
+    assert "PartitionFilters: [isnotnull(event_type" in scan
+    assert "= purchase)" in scan
+    # ...while the value predicate pushes into parquet row groups
+    assert "GreaterThan(value,50.0)" in scan
+    # and event_type is a partition column, never read as data
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in scan
+
+
+def test_dynamic_partition_pruning_fires_on_fact_dim_join(spark):
+    # DPP: a filter on the dim side prunes the partitioned fact's scan at
+    # run time via a dynamicpruning subquery on the partition key
+    from pyspark.sql import functions as F
+
+    from ner_spark.queries_relational import _ensure_partitioned_events
+
+    path = _ensure_partitioned_events(spark, SF_DIR)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0), ("view", 0), ("error", 0), ("signup", 0)],
+        "event_type string, is_rev int",
+    )
+    j = (
+        fact.join(dim, "event_type")
+        .where(F.col("is_rev") == 1)
+        .groupBy("event_type")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+
+
+def test_arrow_ann_is_map_side_topk(spark):
+    plan = _plan(spark, "ann_topk_arrow")
+    assert "MapInArrow" in plan
+    # the only exchange ranks the O(queries x k x batches) candidates,
+    # never the full N scored rows: it must sit ABOVE the MapInArrow
+    pre_arrow = plan.split("MapInArrow")[-1]
+    assert "Exchange" not in pre_arrow
