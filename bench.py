@@ -179,6 +179,7 @@ def main() -> None:
         restart_sec = round(time.perf_counter() - t_r, 3)
 
     if not a.kg_only:
+        import ner_spark.queries_kg  # noqa: F401  (stream_* entries)
         import ner_spark.queries_relational  # noqa: F401
         import ner_spark.queries_text  # noqa: F401
         from ner_spark.registry import QUERIES

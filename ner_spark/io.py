@@ -106,3 +106,52 @@ def read_manifest(path_or_name: str) -> dict | None:
         return None
     with open(mp) as f:
         return json.load(f)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the 100-TB maintenance op every streaming /
+    incremental sink eventually needs: availableNow micro-batches and
+    per-task commits leave O(batches x tasks) small files, and scan-task
+    scheduling degrades once file count >> core count).
+
+    Sizes the output by the INPUT's actual bytes (listed through the
+    Hadoop FileSystem API, so the same code paths work on HDFS/S3A, not
+    just file://) and rewrites with coalesce — a NARROW dependency, no
+    shuffle: each output task concatenates whole input partitions, which
+    is exactly what compaction wants. Returns the output file count.
+
+    Content is preserved row-for-row (no ordering guarantee, same as any
+    parquet dir); verified in tests/test_io_iceberg.py. On Iceberg this
+    maps to rewrite_data_files; the manifest, if present, is copied
+    through so resume markers survive compaction.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    manifest = read_manifest(path)
+    if manifest is not None:
+        with open(_manifest_path(out_path), "w") as fh:
+            json.dump(manifest, fh)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    it = fs.listFiles(out, True)
+    n_out = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_out += 1
+    return n_out

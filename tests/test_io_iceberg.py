@@ -111,3 +111,35 @@ def test_write_table_stamps_run_id():
     assert df.w.created
     assert df.w.opts["snapshot-property.run_id"] == "rZ"
     assert df.w.parts == ("b",)
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    from ner_spark import io as nio
+
+    src = str(tmp_path / "small_files")
+    # 32 tiny files — the post-streaming-sink shape compaction targets
+    spark.range(0, 10_000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) / 3 AS v"
+    ).repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    out = str(tmp_path / "compacted")
+    n_out = nio.compact_parquet_dir(spark, src, out, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    # row-identical content
+    a = spark.read.parquet(src).toPandas().sort_values("id").reset_index(drop=True)
+    b = spark.read.parquet(out).toPandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # coalesce is a narrow rewrite: the plan must contain no Exchange
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

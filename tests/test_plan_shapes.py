@@ -195,3 +195,41 @@ def test_arrow_ann_is_map_side_topk(spark):
     # never the full N scored rows: it must sit ABOVE the MapInArrow
     pre_arrow = plan.split("MapInArrow")[-1]
     assert "Exchange" not in pre_arrow
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew handling (§4.1, north rule 'AQE skew-join'): a
+    SortMergeJoin whose left side is one hot key must come out of AQE
+    with skew=true (the skewed partition split into parallel sub-reads)
+    under cluster-realistic thresholds scaled to fixture bytes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 200k rows; 63 cold keys carry ~3k each
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k").groupBy("tag").count()
+        j.collect()  # AQE decides skew splits at runtime
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
