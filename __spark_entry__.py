@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 import ner_spark.queries_relational  # noqa: F401
 import ner_spark.queries_text  # noqa: F401
 import ner_spark.queries_kg  # noqa: F401
+import ner_spark.queries_graph  # noqa: F401
 import ner_spark.queries_multimodal  # noqa: F401
 from ner_spark.registry import ORACLE_SQL, QUERIES
 

@@ -63,6 +63,7 @@ HEADLINE = [
     "join_bucketed",
     "scan_partition_pruned",
     "batch_sessionize",
+    "graph_pagerank",
     "sketch_distinct_quantiles",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -179,6 +180,7 @@ def main() -> None:
         restart_sec = round(time.perf_counter() - t_r, 3)
 
     if not a.kg_only:
+        import ner_spark.queries_graph  # noqa: F401
         import ner_spark.queries_kg  # noqa: F401  (stream_* entries)
         import ner_spark.queries_relational  # noqa: F401
         import ner_spark.queries_text  # noqa: F401

@@ -1,0 +1,171 @@
+"""Graph analytics over KG-style edge tables (SURVEY.md §2 KG axis).
+
+The KG pipeline materializes an entity co-occurrence/co-reference edge
+table (plans/kg.py); downstream consumers want centrality and community
+statistics over it. These operators implement the two canonical ones —
+PageRank and triangle counting — as iterative/self-join DataFrame plans,
+the same execution shape GraphFrames lowers to, with the 100-TB layout
+choices made explicit:
+
+- the adjacency table is shuffled ONCE onto its join key and persisted;
+  per-iteration joins then only shuffle the (small) rank table;
+- triangle counting orients every edge from its lower-(degree, id)
+  endpoint to the higher one first — the standard hub-killing trick: a
+  node of degree d contributes O(d^2) join candidates unoriented, but
+  only pairs among its higher-degree neighbors oriented, bounding the
+  worst key to ~O(sqrt(E)) fanout instead of O(max_degree);
+- all joins are equi-joins (co-partitionable); nothing broadcasts a
+  table that grows with |V| except the single-row global-average frame.
+
+Cross-engine determinism (DuckDB differential in queries_graph.py): all
+arithmetic is IEEE double on identical inputs; sums differ only in add
+order, so query outputs round to 6 decimals on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    items: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Undirected (src < dst) edges between items sharing a group, kept
+    only when the pair's co-occurrence count exceeds the global average —
+    the thresholding that turns a near-complete co-occurrence relation
+    into an informative graph.
+
+    Scale shape: the self-join is an equi-join on ``group_col`` with
+    fanout bounded by group size (orders hold <= ~13 suppliers; KG
+    conversations are bounded by the salting profile), followed by one
+    hash aggregate on the pair key. The global average is a single-row
+    aggregate broadcast into the filter — not a driver-side collect.
+    """
+    ds = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    pairs = (
+        ds.alias("a")
+        .join(ds.alias("b"), "g")
+        .where(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    avg_w = pairs.agg(F.avg("w").alias("avg_w"))
+    return (
+        pairs.join(F.broadcast(avg_w))
+        .where(F.col("w") > F.col("avg_w"))
+        .select("src", "dst")
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over an undirected (src < dst) edge table; returns
+    (node, rank) after ``iters`` synchronous iterations of the
+    non-normalized formulation r(v) = (1-d) + d * sum_{u~v} r(u)/deg(u),
+    r0 = 1. Every node in the edge table has degree >= 1, so there is no
+    dangling-node mass term.
+
+    Iteration plan: ``adj`` (src, dst, deg) is hash-partitioned on src
+    and persisted before the loop — the one edge-sized shuffle. Each
+    iteration joins the rank table (|V| rows, the small side) against
+    that fixed layout and hash-aggregates contributions by dst: per
+    iteration only rank-sized data moves. Fixed small iteration counts
+    keep the lineage shallow enough that no checkpoint is needed; the
+    open-ended analogue (connected components, operators/coref.py) shows
+    the per-round localCheckpoint pattern for unbounded loops.
+    """
+    und = _symmetrize(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = und.join(deg, "src").repartition("src").persist()
+    ranks = adj.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(1.0)
+    )
+    try:
+        for _ in range(iters):
+            contrib = (
+                adj.join(ranks, adj["src"] == ranks["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
+            )
+            ranks = contrib.select(
+                "node",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("m")).alias(
+                    "rank"
+                ),
+            )
+        # materialize while adj is still persisted — callers may unpersist
+        return ranks.localCheckpoint()
+    finally:
+        adj.unpersist()
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Reorient each undirected edge from its lower-(deg, id) endpoint to
+    the higher one (deterministic total order; ids are unique)."""
+    und = _symmetrize(edges)
+    deg = und.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e = (
+        edges.join(deg.select(F.col("n").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    lower_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    (src < dst) edge table; returns (node, n_triangles) for nodes in at
+    least one triangle.
+
+    With edges oriented low→high by (degree, id), every triangle
+    {x, y, z} (x < y < z in that order) appears exactly once as the join
+    ab=(x,y) ⋈ bc=(y,z) ⋈ ac=(x,z) — three equi-joins, no post-hoc
+    dedup, and the orientation bounds the per-key join fanout on hubs
+    (module docstring). Each found triangle credits all three corners.
+
+    The edge list and its oriented form are materialized once
+    (localCheckpoint) before the three-way self-join — otherwise every
+    join branch re-derives the full edge pipeline (at scale, three
+    redundant co-occurrence shuffles).
+    """
+    edges = edges.localCheckpoint()
+    o = oriented_edges(edges).localCheckpoint()
+    ab, bc, ac = o.alias("ab"), o.alias("bc"), o.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .select(
+            F.col("ab.src").alias("x"),
+            F.col("ab.dst").alias("y"),
+            F.col("bc.dst").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

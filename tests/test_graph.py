@@ -1,0 +1,101 @@
+"""Unit tests for graph operators (operators/graph.py) on hand-built
+graphs with independently computed expectations; the DuckDB differential
+for the registered queries lives in test_queries_duckdb.py.
+"""
+
+from __future__ import annotations
+
+from ner_spark.operators.graph import (
+    cooccurrence_edges,
+    oriented_edges,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def _pagerank_ref(pairs, iters, damping=0.85):
+    """Independent dict-based reference of the same formulation."""
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    r = {n: 1.0 for n in nbrs}
+    for _ in range(iters):
+        r = {
+            n: (1 - damping) + damping * sum(r[u] / deg[u] for u in nbrs[n])
+            for n in nbrs
+        }
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    # triangle {1,2,3} with a tail 3-4-5: asymmetric degrees
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(_edges_df(spark, pairs), iters=3).collect()
+    }
+    exp = _pagerank_ref(pairs, iters=3)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-12, (n, got[n], exp[n])
+    # the hub (3) must outrank the leaf (5)
+    assert got[3] > got[5]
+
+
+def test_triangle_counts_k4(spark):
+    # K4: four triangles, every node in exactly three
+    pairs = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {
+        row["node"]: row["n_triangles"]
+        for row in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_one_triangle_with_tail(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    got = {
+        row["node"]: row["n_triangles"]
+        for row in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    # only the triangle corners appear; tail nodes are in no triangle
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_oriented_edges_is_a_permutation_low_to_high_degree(spark):
+    # star around 1 (degree 4) plus edge 2-3: orientation must point
+    # into the hub, and every input edge appears exactly once
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)]
+    got = {
+        (row["src"], row["dst"])
+        for row in oriented_edges(_edges_df(spark, pairs)).collect()
+    }
+    assert len(got) == len(pairs)
+    # hub has degree 4 > everyone: all star edges point leaf -> hub
+    for leaf in (2, 3, 4, 5):
+        assert (leaf, 1) in got
+    # 2 and 3 both have degree 2: tie broken by id
+    assert (2, 3) in got
+
+
+def test_cooccurrence_edges_threshold(spark):
+    # groups: {1,2} together 3x, {1,3} once, {2,3} once
+    rows = []
+    for g in ("a", "b", "c"):
+        rows += [(g, 1), (g, 2)]
+    rows += [("d", 1), ("d", 3), ("e", 2), ("e", 3)]
+    items = spark.createDataFrame(rows, "g string, i long")
+    got = {
+        (row["src"], row["dst"])
+        for row in cooccurrence_edges(items, "g", "i").collect()
+    }
+    # weights: (1,2)=3, (1,3)=1, (2,3)=1 → avg 5/3; only (1,2) survives
+    assert got == {(1, 2)}
