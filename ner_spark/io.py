@@ -155,3 +155,60 @@ def compact_parquet_dir(
         if it.next().getPath().getName().endswith(".parquet"):
             n_out += 1
     return n_out
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    delta: DataFrame,
+    key: str,
+    fmt: str = FMT,
+    run_id: str | None = None,
+) -> None:
+    """MERGE INTO emulation: upsert ``delta`` into ``target`` by ``key``
+    (matched rows replaced, unmatched inserted) — the CDC-apply operation
+    an incremental KG warehouse runs every micro-batch.
+
+    Iceberg branch: a real ``MERGE INTO`` (copy-on-write/merge-on-read is
+    the table's own property); delta is exposed as a temp view.
+
+    Parquet branch (sandbox): copy-on-write by hand. The merged result is
+    ``target ⟕̸ delta ∪ delta`` — a LEFT ANTI join with the delta
+    broadcast (a CDC batch is small relative to the table, so the fact
+    side never shuffles; Iceberg's copy-on-write MERGE makes the same
+    bet) — written to a temp sibling dir and swapped in. The swap is not
+    atomic (delete-then-rename); a crash between the two leaves no
+    manifest, which the resume protocol (table_complete) already treats
+    as "stage incomplete, recompute" — the same crash contract every
+    other stage write has.
+    """
+    if fmt == "iceberg":
+        delta.createOrReplaceTempView("__merge_delta")
+        cols = delta.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        spark.sql(
+            f"MERGE INTO {target} t USING __merge_delta s ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})"
+        )
+        return
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(target)
+    merged = base.join(
+        F.broadcast(delta.select(key)), key, "left_anti"
+    ).unionByName(delta)
+    tmp = target.rstrip("/") + f".__merge_tmp_{os.getpid()}"
+    merged.write.mode("overwrite").parquet(tmp)
+    manifest = {
+        "run_id": run_id,
+        "completed_at": time.time(),
+        "format": "parquet",
+        "merged_key": key,
+    }
+    with open(_manifest_path(tmp), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(target)
+    os.rename(tmp, target)

@@ -169,3 +169,38 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over an undirected (src < dst) edge table; returns (node, lbl) after
+    ``iters`` iterations. l0(v) = v; each step every node adopts the
+    most frequent label among its neighbors, smallest label on ties —
+    the tie rule that makes LPA (normally randomized) a fixed function
+    of the graph, so it can be differentially tested.
+
+    Same iteration layout as pagerank: the symmetrized adjacency is
+    shuffled once onto src and persisted; per iteration only the
+    |V|-row label table joins against it, and the argmax per node is a
+    max_by(struct) hash aggregate — map-side combinable, no sort, no
+    window.
+    """
+    und = _symmetrize(edges).repartition("src").persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    try:
+        for _ in range(iters):
+            cnt = (
+                und.join(labels, und["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("nbr"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = cnt.groupBy(F.col("nbr").alias("node")).agg(
+                F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
+            )
+        return labels.localCheckpoint()
+    finally:
+        und.unpersist()

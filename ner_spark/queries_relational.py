@@ -1530,3 +1530,58 @@ def scan_partition_pruned(spark, sf):
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH delta AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.05, 6) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, ROUND(o_totalprice, 6), 'N'
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
+           o.o_orderstatus, 'base' AS src
+    FROM orders o ANTI JOIN delta d ON o.o_orderkey = d.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus, 'delta' AS src FROM delta
+    """,
+)
+def merge_upsert_orders(spark, sf):
+    """MERGE INTO semantics as a dataflow (the logical plan behind
+    io.merge_upsert): a CDC delta of price updates (matched -> UPDATE)
+    and late-arriving orders (not matched -> INSERT) applied to the
+    orders table. Matched rows must appear exactly once with the new
+    values, unmatched base rows unchanged, inserts appended — which is
+    exactly what the oracle's anti-join+union states in ANSI SQL.
+
+    Scale shape: the delta is broadcast into a LEFT ANTI hash join
+    against the fact (a CDC batch is small relative to the table), so
+    the fact side never shuffles — the same bet Iceberg's copy-on-write
+    MERGE makes. The delta keys are derived deterministically from the
+    table itself so the query is self-contained at every sf.
+    """
+    o = t(spark, sf, "orders")
+    updates = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.05, 6).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    delta = updates.unionByName(inserts)
+    base = (
+        o.join(F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "o_orderstatus",
+            F.lit("base").alias("src"),
+        )
+    )
+    return base.unionByName(delta.withColumn("src", F.lit("delta")))

@@ -145,6 +145,196 @@ def text_fingerprint(spark, sf):
     )
 
 
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([tk[i] || ' ' || tk[i+1]
+                          FOR i IN generate_series(1, len(tk)-1)]) AS gram
+           FROM toks),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg
+              FROM bgc GROUP BY 1),
+    fg AS (SELECT doc_id,
+                  unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '
+                          ||tk[i+3]||' '||tk[i+4]
+                          FOR i IN generate_series(1, len(tk)-4)]) AS gram
+           FROM toks),
+    fstat AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT gram) AS d5
+              FROM fg GROUP BY 1)
+    SELECT d.doc_id,
+           ROUND(CASE WHEN COALESCE(b.n_bg, 0) > 0
+                 THEN CAST(b.top_c AS DOUBLE) / b.n_bg ELSE 0.0 END, 6)
+             AS top_bigram_frac,
+           ROUND(CASE WHEN COALESCE(f.n5, 0) > 0
+                 THEN CAST(f.n5 - f.d5 AS DOUBLE) / f.n5 ELSE 0.0 END, 6)
+             AS dup_5gram_frac,
+           CASE WHEN (CASE WHEN COALESCE(b.n_bg, 0) > 0
+                      THEN CAST(b.top_c AS DOUBLE) / b.n_bg ELSE 0.0 END)
+                     <= 0.18
+                 AND (CASE WHEN COALESCE(f.n5, 0) > 0
+                      THEN CAST(f.n5 - f.d5 AS DOUBLE) / f.n5 ELSE 0.0 END)
+                     <= 0.30
+                THEN 1 ELSE 0 END AS rep_keep
+    FROM documents d
+    LEFT JOIN bstat b ON b.doc_id = d.doc_id
+    LEFT JOIN fstat f ON f.doc_id = d.doc_id
+    """,
+)
+def text_repetition(spark, sf):
+    """Gopher-style repetition filters: top-bigram fraction (share of
+    bigram slots taken by the single most frequent bigram, drop > 0.18)
+    and duplicate-5-gram fraction (1 - distinct/total, drop > 0.30).
+    Line-level variants are meaningless on this single-line corpus, so
+    both signals are n-gram-based.
+
+    Scale shape: n-grams explode to O(tokens) rows and hash-aggregate on
+    (doc_id, gram) — partial aggregation applies, the key space is
+    per-document so there is no global hot key; identical shuffle
+    footprint to the shingle-based dedup family. The keep thresholds
+    compare IEEE doubles built from identical small-integer ratios on
+    both engines, hence engine-identical.
+    """
+    d = t(spark, sf, "documents")
+    tk = F.split(F.col("text"), " ")
+    base = d.select("doc_id", tk.alias("tk"))
+
+    def _grams(n):
+        # contiguous n-grams; guard short docs (sequence() would run
+        # backwards for a negative stop and F.get pad with nulls)
+        idx = F.sequence(F.lit(0), F.size("tk") - n)
+        gram = lambda i: F.concat_ws(
+            " ", *[F.get(F.col("tk"), i + j) for j in range(n)]
+        )
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("tk") >= n, F.transform(idx, gram)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("gram"),
+        )
+
+    bstat = (
+        _grams(2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    fstat = (
+        _grams(5)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n5"),
+            F.countDistinct("gram").alias("d5"),
+        )
+    )
+    bfrac = F.when(
+        F.coalesce(F.col("n_bg"), F.lit(0)) > 0,
+        F.col("top_c").cast("double") / F.col("n_bg"),
+    ).otherwise(0.0)
+    ffrac = F.when(
+        F.coalesce(F.col("n5"), F.lit(0)) > 0,
+        (F.col("n5") - F.col("d5")).cast("double") / F.col("n5"),
+    ).otherwise(0.0)
+    return (
+        d.select("doc_id")
+        .join(bstat, "doc_id", "left")
+        .join(fstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(bfrac, 6).alias("top_bigram_frac"),
+            F.round(ffrac, 6).alias("dup_5gram_frac"),
+            F.when((bfrac <= 0.18) & (ffrac <= 0.30), 1)
+            .otherwise(0)
+            .alias("rep_keep"),
+        )
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           MD5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    """,
+)
+def text_pii_scrub(spark, sf):
+    """PII detection + redaction (training-data hygiene): count emails
+    and phone numbers, emit the MD5 of the redacted text so the
+    differential proves byte-identical redaction, not just counts.
+
+    The driver corpus is PII-free word-soup, so deterministic synthetic
+    PII is planted on both engines first (every 7th doc an email, every
+    11th a phone) — the same non-vacuity trick dedup_exact uses. The
+    regexes are restricted to the Java/RE2 common subset so Spark and
+    DuckDB compile identical automata. Per-row, no shuffle — scale-free.
+    """
+    d = t(spark, sf, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from ner_spark.operators.graph import (
     cooccurrence_edges,
+    label_propagation,
     oriented_edges,
     pagerank,
     triangle_counts,
@@ -99,3 +100,49 @@ def test_cooccurrence_edges_threshold(spark):
     }
     # weights: (1,2)=3, (1,3)=1, (2,3)=1 → avg 5/3; only (1,2) survives
     assert got == {(1, 2)}
+
+
+def _label_prop_ref(pairs, iters):
+    """Independent dict-based reference: most frequent neighbor label,
+    smallest label on ties, synchronous updates."""
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n, vs in nbrs.items():
+            cnt: dict[int, int] = {}
+            for v in vs:
+                cnt[lbl[v]] = cnt.get(lbl[v], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one bridge edge: communities must not merge
+    # in 2 deterministic iterations (each triangle converges to its min id)
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(_edges_df(spark, pairs), iters=2).collect()
+    }
+    exp = _label_prop_ref(pairs, iters=2)
+    assert got == exp
+    # the left triangle's interior nodes agree on a community distinct
+    # from the right triangle's interior
+    assert got[1] == got[2] and got[5] == got[6]
+    assert got[1] != got[5]
+
+
+def test_label_propagation_star_adopts_hub_minimum(spark):
+    # star: leaves see only the hub; after 1 iter every leaf has the
+    # hub's label and the hub has the smallest leaf label
+    pairs = [(1, 9), (2, 9), (3, 9)]
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(_edges_df(spark, pairs), iters=1).collect()
+    }
+    assert got == {1: 9, 2: 9, 3: 9, 9: 1}

@@ -143,3 +143,65 @@ def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+class TestMergeUpsert:
+    """Parquet branch of io.merge_upsert: MERGE semantics on disk."""
+
+    def _seed(self, spark, path):
+        spark.createDataFrame(
+            [(1, 10.0, "O"), (2, 20.0, "O"), (3, 30.0, "F")],
+            "k long, price double, status string",
+        ).write.parquet(path)
+
+    def test_matched_updated_unmatched_inserted(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        delta = spark.createDataFrame(
+            [(2, 99.0, "U"), (4, 40.0, "N")],
+            "k long, price double, status string",
+        )
+        nio.merge_upsert(spark, path, delta, "k", fmt="parquet", run_id="r1")
+        rows = {
+            r["k"]: (r["price"], r["status"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert rows == {
+            1: (10.0, "O"),   # untouched base row survives
+            2: (99.0, "U"),   # matched -> updated, exactly once
+            3: (30.0, "F"),
+            4: (40.0, "N"),   # not matched -> inserted
+        }
+        assert nio.table_complete(path, run_id="r1", fmt="parquet")
+
+    def test_reapply_is_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        delta = spark.createDataFrame(
+            [(2, 99.0, "U")], "k long, price double, status string"
+        )
+        nio.merge_upsert(spark, path, delta, "k", fmt="parquet")
+        nio.merge_upsert(spark, path, delta, "k", fmt="parquet")
+        df = spark.read.parquet(path)
+        assert df.count() == 3  # same delta twice -> no duplicate keys
+        assert df.where("k = 2").collect()[0]["price"] == 99.0
+
+    def test_iceberg_branch_issues_merge_sql(self, tmp_path):
+        captured = {}
+
+        class _Delta:
+            columns = ["k", "price"]
+
+            def createOrReplaceTempView(self, name):
+                captured["view"] = name
+
+        class _Spark:
+            def sql(self, q):
+                captured["sql"] = q
+                return _Rows([])
+
+        nio.merge_upsert(_Spark(), "wh.orders", _Delta(), "k", fmt="iceberg")
+        assert captured["view"] == "__merge_delta"
+        assert "MERGE INTO wh.orders t" in captured["sql"]
+        assert "WHEN MATCHED THEN UPDATE SET t.price = s.price" in captured["sql"]
+        assert "WHEN NOT MATCHED THEN INSERT (k, price)" in captured["sql"]
