@@ -71,6 +71,9 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_arrow",
     "text_quality_score",
+    "text_repetition",
+    "pack_sequences",
+    "merge_upsert_orders",
     "stream_join_clicks",
 ]
 

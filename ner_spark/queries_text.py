@@ -1093,3 +1093,174 @@ def ann_topk_arrow(spark, sf):
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# training-set assembly: split / mix / pack
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_split_stratified",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS frac
+      FROM documents)
+    SELECT doc_id, lang, ROUND(frac, 6) AS hash_frac,
+           CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def sample_split_stratified(spark, sf):
+    """Deterministic train/val/test assignment by content-key hash — the
+    split op every training pipeline needs, done the only way that is
+    stable under reprocessing and joins at 100 TB: a pure function of
+    the key (md5 first 8 hex chars as a uniform fraction), never
+    rand()/sample() whose results change with partitioning, task retry,
+    or row order. Per-row, no shuffle; the same hash recomputed anywhere
+    (another job, another engine — here literally DuckDB) lands every
+    doc in the same split.
+    """
+    d = t(spark, sf, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(frac, 6).alias("hash_frac"),
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "mix_domains_weighted",
+    """
+    WITH rates AS (
+      SELECT source,
+             0.25 + 0.5 * (CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                           / 4294967296.0) AS rate
+      FROM (SELECT DISTINCT source FROM documents)),
+    scored AS (
+      SELECT d.source, r.rate,
+             CASE WHEN CAST(('0x' || substr(md5('doc' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < r.rate
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN rates r USING (source))
+    SELECT source, ROUND(rate, 6) AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept
+    FROM scored GROUP BY source, rate
+    """,
+)
+def mix_domains_weighted(spark, sf):
+    """Domain-mixture sampling (data mixing): each source gets a target
+    sampling rate and docs are kept iff their key-hash fraction falls
+    under it — deterministic weighted downsampling, the op that rebalances
+    a crawl's domain proportions before training. Rates here are derived
+    from the source name's own hash so the query is self-contained at
+    every sf; in production they come from a tiny weights table, which is
+    exactly the broadcast join below.
+
+    Scale shape: the rates table is O(#domains) and broadcast; the keep
+    decision is per-row; the only shuffle is the final per-source count.
+    Retries/repartitioning cannot change the sample (VERDICT-class
+    hazard with rand()-based sampling).
+    """
+    d = t(spark, sf, "documents")
+
+    def _frac8(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+
+    rates = (
+        d.select("source")
+        .distinct()
+        .select("source", (0.25 + 0.5 * _frac8(F.col("source"))).alias("rate"))
+    )
+    scored = d.join(F.broadcast(rates), "source").select(
+        "source",
+        "rate",
+        F.when(
+            _frac8(F.concat(F.lit("doc"), F.col("doc_id").cast("string")))
+            < F.col("rate"),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return scored.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    ).select(
+        "source", F.round("rate", 6).alias("rate"), "n_total", "n_kept"
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    offs AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS start_off
+      FROM toks)
+    SELECT doc_id, lang, n_tok, start_off,
+           start_off // {_PACK_BUDGET} AS pack_first,
+           (start_off + n_tok - 1) // {_PACK_BUDGET} AS pack_last
+    FROM offs
+    """,
+)
+def pack_sequences(spark, sf):
+    """Sequence packing: concatenate documents per language stream in
+    deterministic (doc_id) order and chop the token stream into
+    fixed-budget training sequences — each doc's byte range maps to a
+    [pack_first, pack_last] window, the GPT-style pretraining layout
+    (docs straddle pack boundaries rather than leaving padding).
+
+    Scale shape: one window cumsum per stream key. At 100 TB the stream
+    key must shard finer than `lang` (e.g. (lang, shard) with shard =
+    hash-bucketed doc ranges) or the running sum serializes per key —
+    the same partition-then-window discipline as B12/B14; the frame is
+    ROWS UNBOUNDED PRECEDING, which Spark computes in one pass without
+    buffering the partition.
+    """
+    d = t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = toks.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return offs.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "start_off",
+        F.floor(F.col("start_off") / _PACK_BUDGET).alias("pack_first"),
+        F.floor((F.col("start_off") + F.col("n_tok") - 1) / _PACK_BUDGET).alias(
+            "pack_last"
+        ),
+    )
