@@ -171,7 +171,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 2, checkpoint: bool = True
+) -> DataFrame:
     """Deterministic synchronous label propagation (community detection)
     over an undirected (src < dst) edge table; returns (node, lbl) after
     ``iters`` iterations. l0(v) = v; each step every node adopts the
@@ -184,6 +186,10 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     |V|-row label table joins against it, and the argmax per node is a
     max_by(struct) hash aggregate — map-side combinable, no sort, no
     window.
+
+    ``checkpoint=False`` skips the final localCheckpoint so callers can
+    inspect the full iteration plan (the checkpoint replaces it with an
+    ExistingRDD scan); execution-bound callers keep the default.
     """
     und = _symmetrize(edges).repartition("src").persist()
     labels = (
@@ -201,6 +207,6 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
             labels = cnt.groupBy(F.col("nbr").alias("node")).agg(
                 F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
             )
-        return labels.localCheckpoint()
+        return labels.localCheckpoint() if checkpoint else labels
     finally:
         und.unpersist()

@@ -233,3 +233,55 @@ def test_aqe_splits_skewed_join_partitions(spark):
             spark.conf.set(k, v)
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_merge_upsert_fact_side_never_shuffles(spark):
+    # MERGE-as-dataflow: the CDC delta must broadcast into a LeftAnti
+    # hash join; a SortMergeJoin here would shuffle the full fact table
+    plan = _plan(spark, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_domains_rates_table_is_broadcast(spark):
+    plan = _plan(spark, "mix_domains_weighted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle_running_window(spark):
+    # one hash Exchange onto the stream key, then a single Window with a
+    # running (UNBOUNDED PRECEDING..CURRENT ROW) frame — no extra sort
+    # passes, no second shuffle
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_label_prop_argmax_is_aggregate_not_window(spark):
+    # the per-node label argmax must stay a max_by(struct) hash
+    # aggregate (map-side combinable); a row_number window would add a
+    # sort per iteration. checkpoint=False keeps the iteration plan
+    # visible (the registered query checkpoints, leaving only an
+    # ExistingRDD scan to inspect).
+    from ner_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    df = label_propagation(edges, iters=1, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_text_repetition_prunes_to_two_columns(spark):
+    # only (doc_id, text) of the 5 document columns may be read, and the
+    # n-gram expansion must not introduce any nested-loop join
+    plan = _plan(spark, "text_repetition")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    for s in scans:
+        cols = s.split("FileScan parquet [")[1].split("]")[0].split(",")
+        assert len(cols) <= 2, s
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -295,3 +295,77 @@ def test_stream_stream_join_multibatch_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype("int64"), exp.astype("int64"), check_names=False
     )
+
+
+class TestCdcMerge:
+    """Streaming CDC apply: foreachBatch -> io.merge_upsert keeps a
+    table current from a change feed (run_cdc_merge)."""
+
+    # the feed carries a seq column the maintained table does NOT have:
+    # run_cdc_merge must treat it as transport metadata and project the
+    # delta onto the target schema before merging
+    SCHEMA = "k long, price double, status string, seq long"
+
+    def _setup(self, spark, tmp_path):
+        import json
+        import os
+
+        target = str(tmp_path / "maintained")
+        spark.createDataFrame(
+            [(1, 10.0, "O"), (2, 20.0, "O"), (3, 30.0, "F")],
+            "k long, price double, status string",
+        ).write.parquet(target)
+        feed = tmp_path / "cdc"
+        feed.mkdir()
+        # batch 1 carries TWO changes for k=2: only seq=1 may apply
+        b1 = [
+            {"k": 2, "price": 77.0, "status": "X", "seq": 0},
+            {"k": 2, "price": 99.0, "status": "U", "seq": 1},
+            {"k": 4, "price": 40.0, "status": "N", "seq": 1},
+        ]
+        b2 = [
+            {"k": 2, "price": 150.0, "status": "U2", "seq": 2},
+            {"k": 5, "price": 50.0, "status": "N", "seq": 2},
+        ]
+        for i, rows in enumerate([b1, b2]):
+            p = feed / f"batch{i}.json"
+            p.write_text("\n".join(json.dumps(r) for r in rows))
+            # force distinct mtimes so the file source's batch order is
+            # deterministic (b1 strictly before b2)
+            os.utime(p, (1000 + i * 100, 1000 + i * 100))
+        return target, str(feed)
+
+    def _stream(self, spark, feed):
+        return (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+
+    def test_merge_applies_batches_in_order(self, spark, tmp_path):
+        target, feed = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        out = S.run_cdc_merge(
+            self._stream(spark, feed), target, "k", "seq", ckpt
+        )
+        rows = {r["k"]: (r["price"], r["status"]) for r in out.collect()}
+        assert rows == {
+            1: (10.0, "O"),    # untouched
+            2: (150.0, "U2"),  # batch-2 update wins over both batch-1 rows
+            3: (30.0, "F"),
+            4: (40.0, "N"),    # inserted in batch 1
+            5: (50.0, "N"),    # inserted in batch 2
+        }
+
+    def test_resume_with_same_checkpoint_is_noop(self, spark, tmp_path):
+        target, feed = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        S.run_cdc_merge(self._stream(spark, feed), target, "k", "seq", ckpt)
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(target).collect()
+        )
+        # same checkpoint: WAL already covers every feed file -> no-op
+        out = S.run_cdc_merge(
+            self._stream(spark, feed), target, "k", "seq", ckpt
+        )
+        assert sorted(tuple(r) for r in out.collect()) == before
