@@ -19,8 +19,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parallelize_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the scan produced fewer partitions
+    than the cluster has slots. Parquet packs small files into one
+    partition (maxPartitionBytes), which serializes every CPU-bound map
+    stage downstream — measured 6s single-task vs <0.5s at 32-way for
+    the sf0.1 minhash signatures. At warehouse scale the scan already
+    has >> slots partitions and this is a no-op; the shuffle it inserts
+    on small inputs moves less data than one task's worth of work."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>) — distinct word n-grams per doc."""
+    """(doc_id, shingles array<string>) — distinct word n-grams per doc;
+    input re-parallelized if the scan under-partitioned (see
+    _parallelize_small_input)."""
+    docs = _parallelize_small_input(docs)
     toks = F.split(F.col(text_col), " ")
     gram = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

@@ -68,9 +68,11 @@ def test_both_variants_recall_true_near_dups(spark, truth_pairs):
 
 
 def test_signatures_are_per_row(spark):
-    """The signature stage must not shuffle: its physical plan contains no
-    Exchange below the posexplode projection (the whole point of the
-    per-row higher-order-function formulation)."""
+    """The signature stage must not hash-shuffle: its physical plan has no
+    key-based Exchange (the whole point of the per-row higher-order-function
+    formulation). A single round-robin repartition IS allowed — shingles()
+    inserts one when the parquet scan under-partitions a small input (see
+    _parallelize_small_input), and it carries no key semantics."""
     from ner_spark.functions.dedup import minhash_signatures, shingles
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -80,7 +82,8 @@ def test_signatures_are_per_row(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert plan.lower().count("exchange") <= 1  # only the round-robin spread
 
 
 def test_dedup_cluster_is_valid_partition(spark):
