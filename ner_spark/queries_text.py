@@ -1264,3 +1264,267 @@ def pack_sequences(spark, sf):
             "pack_last"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: cluster survivors / decontamination / quota sampling / data card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id, b.band,
+             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
+      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, b.band),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach AS (
+      SELECT u AS doc_id, v AS r FROM edges
+      UNION
+      SELECT c.doc_id, e.v FROM reach c JOIN edges e ON e.u = c.r),
+    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT cluster_id, n_members, doc_id AS keep_doc_id,
+           n_chars AS keep_n_chars
+    FROM (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf):
+    """Cluster winner selection — the step that turns near-dup clusters
+    into a surviving corpus: per dedup_cluster component, keep the
+    highest-quality member (here: longest text, min doc_id tiebreak) and
+    report what was dropped. Completes the dedup story: candidate pairs
+    (dedup_minhash_lsh) -> components (dedup_cluster) -> survivors.
+
+    Scale shape: one equi-join of the cluster assignment against the doc
+    metadata, then a hash aggregate per cluster with `max_by(doc_id,
+    struct(n_chars, -doc_id))` — partial-aggregatable arg-max, NO window
+    sort over members (the oracle uses ROW_NUMBER; the Spark plan must
+    not). Cluster cardinality is bounded by near-dup structure, not
+    corpus size, so no hot key beyond what LSH already bounds."""
+    clusters = dedup_cluster(spark, sf)
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias(
+                "keep_doc_id"
+            ),
+            F.max("n_chars").alias("keep_n_chars"),
+        )
+    )
+
+
+def _gram_sql(src: str) -> str:
+    # distinct word-3-gram rows (doc_id, s) for an arbitrary CTE/table
+    return f"""
+      SELECT doc_id, UNNEST(list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               FOR i IN range(1, len(toks) - 1)
+             ])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+      WHERE len(toks) >= 3"""
+
+
+@register(
+    "dedup_decontaminate",
+    f"""
+    WITH eval_set AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      FROM eval_set WHERE doc_id < 250),
+    cg AS ({_gram_sql('corpus')}),
+    eg AS ({_gram_sql('eval_set')})
+    SELECT cg.doc_id, eg.doc_id AS eval_doc_id,
+           COUNT(*) AS n_common_grams
+    FROM cg JOIN eg ON cg.s = eg.s
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_decontaminate(spark, sf):
+    """Benchmark decontamination: flag training docs that share >= 3
+    distinct word-3-grams with any held-out evaluation document — the
+    standard n-gram-overlap hygiene pass run before pretraining so eval
+    sets aren't memorized. Eval set = every 50th doc; to guarantee the
+    operator is exercised non-vacuously, 5 contaminated paraphrases
+    (eval text minus its first two tokens) are planted into the corpus
+    under doc_id + 2e6, mirrored in the oracle — the dedup_exact trick.
+
+    Scale shape: the eval side is a benchmark suite (MBs, not TBs), so
+    its gram set is BROADCAST and the corpus grams stream past it
+    map-side — no shuffle of the 100-TB side for the probe; the only
+    exchange is the (flagged-doc, eval-doc) count aggregate, whose
+    cardinality is bounded by contamination, not corpus size."""
+    from ner_spark.functions.dedup import shingles
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    eval_set = d.where(F.col("doc_id") % 50 == 0)
+    toks = F.split(F.col("text"), " ")
+    planted = eval_set.where(F.col("doc_id") < 250).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 3, F.size(toks)), " ").alias("text"),
+    )
+    corpus = d.where(F.col("doc_id") % 50 != 0).unionByName(planted)
+    cg = shingles(corpus).select("doc_id", F.explode("shingles").alias("s"))
+    eg = (
+        shingles(eval_set)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
+        )
+    )
+    return (
+        cg.join(F.broadcast(eg), "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_grams"))
+        .where(F.col("n_common_grams") >= 3)
+    )
+
+
+_QUOTA_TOKENS = 800
+
+
+@register(
+    "quota_sample_tokens",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             MD5('q' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM d)
+    SELECT doc_id, source, n_tok, cum_tokens
+    FROM r WHERE cum_tokens <= {_QUOTA_TOKENS}
+    """,
+)
+def quota_sample_tokens(spark, sf):
+    """Token-budget sampling: per source, admit documents in a
+    deterministic salted-hash order until the running token count hits
+    the quota — how a training mix is cut to "N tokens of domain X"
+    reproducibly (rand()-based sampling changes with partitioning and
+    retries; a content-hash order does not, and here literally replays
+    in DuckDB). The salt ('q' prefix) decorrelates the admission order
+    from sample_split_stratified's split hash.
+
+    Scale shape: one running-sum window per source partition (same
+    discipline as pack_sequences — at 100 TB a giant source must shard
+    to (source, hash-bucket) with per-bucket sub-quotas or the cumsum
+    serializes per key; the frame is ROWS UNBOUNDED PRECEDING, single
+    pass, no partition buffering)."""
+    d = t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.lit("q"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .where(F.col("cum_tokens") <= _QUOTA_TOKENS)
+        .select("doc_id", "source", "n_tok", "cum_tokens")
+    )
+
+
+@register(
+    "corpus_datacard",
+    """
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lc) WHERE rn = 1),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+             SUM(CASE WHEN len(string_split(text, ' ')) < 20
+                 THEN 1 ELSE 0 END) AS n_short
+      FROM documents GROUP BY 1)
+    SELECT s.source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+           n_langs, top_lang,
+           ROUND(CAST(n_short AS DOUBLE) / n_docs, 6) AS short_doc_frac
+    FROM s JOIN top USING (source)
+    """,
+)
+def corpus_datacard(spark, sf):
+    """Per-source corpus data card: doc/token counts, average length,
+    language spread, dominant language, short-doc fraction — the
+    summary table a curation pipeline publishes alongside every corpus
+    release (and the input to mix_domains_weighted's rate choices).
+
+    Scale shape: one hash aggregate keyed by source (partial-agg
+    friendly; source cardinality is thousands, not rows), plus a
+    window over the (source x lang) count table — which is tiny by
+    construction, so the ROW_NUMBER there never sees a big partition."""
+    d = t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.sum(F.when(n_tok < 20, 1).otherwise(0)).alias("n_short"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return s.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_doc_tokens"
+        ),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("n_short").cast("double") / F.col("n_docs"), 6).alias(
+            "short_doc_frac"
+        ),
+    )

@@ -285,3 +285,22 @@ def test_text_repetition_prunes_to_two_columns(spark):
         assert len(cols) <= 2, s
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keep_best_winner_is_aggregate_not_window(spark):
+    plan = _plan(spark, "dedup_keep_best")
+    # winner per cluster = partial+final max_by(doc_id, struct(...)) hash
+    # aggregate (map-side combine); the oracle's ROW_NUMBER formulation
+    # would appear as a Window partitioned by cluster_id — forbidden here
+    assert "partial_max_by" in plan
+    assert not any(
+        "cluster_id" in l for l in plan.splitlines() if "Window [" in l
+    ), "winner selection regressed to a per-cluster window sort"
+
+
+def test_decontaminate_probe_broadcasts_the_eval_side(spark):
+    plan = _plan(spark, "dedup_decontaminate")
+    # the benchmark gram set is the broadcast build side; the corpus
+    # (100-TB side) must stream past it without a shuffle for the probe
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
