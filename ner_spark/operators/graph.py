@@ -210,3 +210,49 @@ def label_propagation(
         return labels.localCheckpoint() if checkpoint else labels
     finally:
         und.unpersist()
+
+
+def bfs_hops(
+    edges: DataFrame, n_seeds: int = 3, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS over an undirected (src < dst) edge table:
+    returns (seed, node, dist) — minimum hop distance <= ``max_hops``
+    from each of the ``n_seeds`` lowest-id nodes (deterministic seed
+    rule, so the run is a pure function of the graph).
+
+    Frontier iteration, the scale shape for distributed BFS: per hop,
+    only the FRONTIER (nodes first reached that hop) joins the
+    once-partitioned persisted adjacency, and the expansion is
+    anti-joined against the visited set so a node is settled exactly
+    once per seed — without the anti-join the walk set grows by degree
+    products per hop (the oracle's recursive CTE does exactly that,
+    affordable only at test scale). One isEmpty action per round and a
+    localCheckpoint per frontier, the same loop discipline as the
+    connected-components operator (operators/coref.py).
+    """
+    und = _symmetrize(edges).repartition("src").persist()
+    try:
+        seeds = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(n_seeds)
+            .select(F.col("node").alias("seed"), "node")
+        )
+        visited = seeds.withColumn("dist", F.lit(0)).localCheckpoint()
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            frontier = (
+                frontier.join(und, frontier["node"] == und["src"])
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, ["seed", "node"], "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint()
+            )
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(frontier).localCheckpoint()
+        return visited
+    finally:
+        und.unpersist()
