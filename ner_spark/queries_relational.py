@@ -884,12 +884,20 @@ def join_asof_cogroup(spark, sf):
     plans differentially checked against one SQL definition."""
     import pandas as pd
 
-    e = t(spark, sf, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
+    # Each cogroup side gets its OWN scan: when both derive from one read
+    # (shared attribute ids), Spark 4.1's column pruning under a
+    # zero-column parent (e.g. df.count()) misbinds the right side's
+    # attributes to the left's and the UDF receives a right batch without
+    # `ts` (worker KeyError). Full materialization is unaffected, so the
+    # differential never caught it; tests/test_plan_shapes.py pins the
+    # count() path now. Two scans of the same parquet cost nothing extra
+    # here — both are pruned + pushed down independently.
+    clicks = t(spark, sf, "events").where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
     purchases = (
-        e.where(F.col("event_type") == "purchase")
+        t(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("last_purchase_value"))
     )

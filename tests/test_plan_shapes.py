@@ -304,3 +304,16 @@ def test_decontaminate_probe_broadcasts_the_eval_side(spark):
     # (100-TB side) must stream past it without a shuffle for the probe
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_cogroup_survives_column_pruning(spark):
+    """Regression: df.count() on the cogrouped as-of join. With both
+    cogroup sides built from one shared scan, Spark 4.1's column pruning
+    under a zero-column parent misbinds the right side's attributes and
+    the pandas UDF crashes (KeyError: 'ts') — only on count()-like
+    plans, so the full-materialization differential never saw it. The
+    query now reads each side from its own scan; this pins both paths."""
+    from __spark_entry__ import queries
+
+    df = queries()["join_asof_cogroup"](spark, SF_DIR)
+    assert df.count() == len(df.toPandas())
