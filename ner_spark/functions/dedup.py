@@ -93,6 +93,16 @@ def minhash_lsh_pairs(
     the LSH buckets ARE the shuffle partitions; per-bucket fan-out is
     bounded by bucket size, the standard LSH contract."""
     sig = minhash_signatures(shingles(docs, text_col), n_bands, hash_fn)
+    return lsh_pairs_from_signatures(sig, min_band_hits)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame, min_band_hits: int = 2
+) -> DataFrame:
+    """The LSH bucket self-join alone, over an existing (doc_id, band,
+    minhash) signature table — split out so a staged pipeline can
+    materialize signatures once (the full-corpus scan) and resume from
+    them (plans/curation.py)."""
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

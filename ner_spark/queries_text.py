@@ -841,10 +841,10 @@ def ann_lsh_bucketed(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_cluster",
-    f"""
-    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+# MinHash-LSH pairs -> transitive-closure clusters, shared by the three
+# cluster-consuming oracles (dedup_cluster / dedup_keep_best /
+# curation_decide) so the recipe cannot diverge between them
+_CLUSTERS_CTE = f"""sh AS ({_SHINGLE_SQL}),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id, b.band,
@@ -865,8 +865,15 @@ def ann_lsh_bucketed(spark, sf):
     reach AS (
       SELECT u AS doc_id, v AS r FROM edges
       UNION
-      SELECT c.doc_id, e.v FROM reach c JOIN edges e ON e.u = c.r)
-    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+      SELECT c.doc_id, e.v FROM reach c JOIN edges e ON e.u = c.r),
+    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_cluster",
+    f"""
+    WITH RECURSIVE {_CLUSTERS_CTE}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def dedup_cluster(spark, sf):
@@ -1274,29 +1281,7 @@ def pack_sequences(spark, sf):
 @register(
     "dedup_keep_best",
     f"""
-    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sig AS (
-      SELECT doc_id, b.band,
-             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
-      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
-      GROUP BY doc_id, b.band),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-      HAVING COUNT(*) >= 2),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-      UNION SELECT doc_a, doc_a FROM pairs
-      UNION SELECT doc_b, doc_b FROM pairs),
-    reach AS (
-      SELECT u AS doc_id, v AS r FROM edges
-      UNION
-      SELECT c.doc_id, e.v FROM reach c JOIN edges e ON e.u = c.r),
-    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    WITH RECURSIVE {_CLUSTERS_CTE}
     SELECT cluster_id, n_members, doc_id AS keep_doc_id,
            n_chars AS keep_n_chars
     FROM (
@@ -1528,3 +1513,36 @@ def corpus_datacard(spark, sf):
             "short_doc_frac"
         ),
     )
+
+
+@register(
+    "curation_decide",
+    f"""
+    WITH RECURSIVE {_CLUSTERS_CTE},
+    winners AS (
+      SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT c.cluster_id, d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM clusters c JOIN documents d USING (doc_id))
+      WHERE rn = 1)
+    SELECT d.doc_id, c.cluster_id,
+           (c.cluster_id IS NULL OR d.doc_id = w.keep_doc_id) AS keep
+    FROM documents d
+    LEFT JOIN clusters c USING (doc_id)
+    LEFT JOIN winners w USING (cluster_id)
+    """,
+)
+def curation_decide(spark, sf):
+    """The curation pipeline's keep/drop decision table (plans/
+    curation.py keep_decision over connected-components clusters), run
+    through the whole staged dataflow in-memory with hash_fn=MD5 so the
+    decision is bit-replayable in DuckDB — the differential exercise of
+    the PIPELINE composition, complementing the per-stage queries
+    (dedup_minhash_lsh / dedup_cluster / dedup_keep_best) and the
+    warehouse/resume tests (tests/test_curation_plan.py, which run the
+    xxhash64 production hash)."""
+    from ner_spark.plans.curation import curate
+
+    out = curate(spark, t(spark, sf, "documents"), hash_fn=F.md5)
+    return out["decision"]
