@@ -27,6 +27,10 @@ def _parallelize_small_input(df: DataFrame) -> DataFrame:
     the sf0.1 minhash signatures. At warehouse scale the scan already
     has >> slots partitions and this is a no-op; the shuffle it inserts
     on small inputs moves less data than one task's worth of work."""
+    if df.isStreaming:
+        # micro-batch parallelism is the source's concern (maxFilesPerTrigger
+        # etc.), and .rdd is undefined on a streaming frame
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

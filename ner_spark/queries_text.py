@@ -1546,3 +1546,135 @@ def curation_decide(spark, sf):
 
     out = curate(spark, t(spark, sf, "documents"), hash_fn=F.md5)
     return out["decision"]
+
+
+def _sig_sql(src: str) -> str:
+    # banded MD5 minhash signatures (doc_id, band, minhash) for an
+    # arbitrary CTE/table — the oracle twin of functions/dedup.py's
+    # minhash_signatures(hash_fn=MD5)
+    return f"""
+      SELECT doc_id, b.band,
+             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
+      FROM ({_gram_sql(src)}) g,
+           (SELECT UNNEST(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, b.band"""
+
+
+_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@register(
+    "stream_dedup_probe",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    csig AS ({_sig_sql('corpus')}),
+    nsig AS ({_sig_sql('newdocs')})
+    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+           COUNT(*) AS n_band_hits
+    FROM nsig n JOIN csig c
+      ON n.band = c.band AND n.minhash = c.minhash
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def stream_dedup_probe(spark, sf):
+    """Incremental dedup: newly-arriving documents (a stream) probed
+    against the STATIC corpus signature table — the admission check a
+    continuously-fed training corpus runs so new data never re-clusters
+    the existing 100 TB. Signatures on the stream side are stateless
+    per-row projections (streaming-safe); the probe is a stream-static
+    equi join on (band, minhash) with the corpus side broadcast, and the
+    >= 2-band reduction is the only stateful step (complete-mode
+    aggregate, drained in one availableNow micro-batch so the result is
+    row-identical to the batch formulation — full DuckDB oracle).
+
+    At scale the corpus side is the curation pipeline's materialized
+    `signatures` stage (plans/curation.py), so admission never re-reads
+    corpus text."""
+    import tempfile
+
+    from ner_spark.functions.dedup import minhash_signatures, shingles
+    from ner_spark.streaming import incremental as S
+
+    corpus = (
+        t(spark, sf, "documents")
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text")
+    )
+    csig = minhash_signatures(shingles(corpus), hash_fn=F.md5).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "minhash"
+    )
+    new_stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    nsig = minhash_signatures(shingles(new_stream), hash_fn=F.md5).select(
+        F.col("doc_id").alias("new_doc"), "band", "minhash"
+    )
+    probe = (
+        nsig.join(F.broadcast(csig), ["band", "minhash"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+        .where(F.col("n_band_hits") >= 2)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        return S.run_available_now(
+            probe, ckpt, "q_stream_dedup_probe", output_mode="complete"
+        )
+
+
+@register(
+    "text_normalize",
+    """
+    WITH messy AS (
+      SELECT doc_id,
+             '  ' ||
+             replace(CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END,
+                     CASE WHEN doc_id % 3 = 0 THEN ' ' ELSE chr(1) END,
+                     '  ') || ' ' AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(trim(regexp_replace(lower(text), ' {2,}', ' ', 'g')))
+                AS INT) AS norm_len,
+           MD5(regexp_replace(
+                 trim(regexp_replace(lower(text), ' {2,}', ' ', 'g')),
+                 '[0-9]+', '0', 'g')) AS norm_md5
+    FROM messy
+    """,
+)
+def text_normalize(spark, sf):
+    """Text canonicalization — the pass run before any hashing/dedup so
+    byte-level noise (case, runs of whitespace, digit strings) does not
+    defeat exact and near dedup: lowercase, collapse whitespace runs,
+    trim, canonicalize digit runs to '0'. The MD5 of the normalized text
+    proves byte-identical normalization across engines, not just equal
+    lengths. The driver corpus is already clean, so deterministic mess
+    (upper-cased evens, double-spaced every-third doc, padding) is
+    planted identically on both sides first — the dedup_exact trick.
+    Per-row, no shuffle; regexes in the Java/RE2 common subset."""
+    d = t(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("  "),
+        F.replace(
+            F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ")).otherwise(
+                F.lit("\x01")
+            ),
+            F.lit("  "),
+        ),
+        F.lit(" "),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(messy), " {2,}", " "))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("int").alias("norm_len"),
+        F.md5(F.regexp_replace(norm, "[0-9]+", "0")).alias("norm_md5"),
+    )
