@@ -24,8 +24,9 @@ Scale shapes (all inherited from the underlying operators):
   shuffle partitions;
 - clusters: O(log n)-round large-star/small-star CC (operators/coref);
 - decision: winner per cluster via max_by(struct) hash aggregate (no
-  window sort), then two equi-joins against the doc list;
-- report: hash aggregate keyed by source.
+  window sort), then two equi-joins against the doc-id/source list;
+- report: hash aggregate keyed by source over the decision table (the
+  corpus itself is read exactly once, by the signature stage).
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ class CurationPipeline(StagedPipeline):
             "decision", lambda: keep_decision(docs, clusters)
         )
         report = self._stage(
-            "report", lambda: curation_report(docs, decision)
+            "report", lambda: curation_report(decision)
         )
         self._join_lineage()
         return {
@@ -97,24 +98,38 @@ class CurationPipeline(StagedPipeline):
         }
 
 
-def keep_decision(docs: DataFrame, clusters: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id, keep): every unclustered doc is kept; each
-    near-dup cluster keeps exactly its best member (longest text, min
-    doc_id tiebreak — the dedup_keep_best rule). The winner arg-max is a
-    max_by(struct) hash aggregate (partial-agg friendly), never a
-    per-cluster window sort."""
+def cluster_winners(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """THE winner-per-cluster rule — (cluster_id, n_members, keep_doc_id,
+    keep_n_chars): best member = longest text, min doc_id tiebreak, as a
+    max_by(struct) hash aggregate (partial-agg friendly, never a
+    per-cluster window sort). Single definition shared by the pipeline's
+    decision stage and the dedup_keep_best query so the published
+    survivor report can never diverge from what the pipeline keeps."""
     members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
-    winners = members.groupBy("cluster_id").agg(
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
         F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias(
             "keep_doc_id"
-        )
+        ),
+        F.max("n_chars").alias("keep_n_chars"),
+    )
+
+
+def keep_decision(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(doc_id, source, cluster_id, keep): every unclustered doc is kept;
+    each near-dup cluster keeps exactly its cluster_winners() member.
+    `source` rides along so the report stage is a pure aggregate over
+    this (small) table — no second scan of the corpus."""
+    winners = cluster_winners(docs, clusters).select(
+        "cluster_id", "keep_doc_id"
     )
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", "source")
         .join(clusters, "doc_id", "left")
         .join(winners, "cluster_id", "left")
         .select(
             "doc_id",
+            "source",
             "cluster_id",
             (
                 F.col("cluster_id").isNull()
@@ -124,11 +139,12 @@ def keep_decision(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     )
 
 
-def curation_report(docs: DataFrame, decision: DataFrame) -> DataFrame:
+def curation_report(decision: DataFrame) -> DataFrame:
     """Per-source keep/drop accounting — the release note a curation run
-    publishes: (source, n_docs, n_kept, drop_rate)."""
+    publishes: (source, n_docs, n_kept, drop_rate). A pure aggregate
+    over the decision table; the corpus is not re-read."""
     return (
-        decision.join(docs.select("doc_id", "source"), "doc_id")
+        decision
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

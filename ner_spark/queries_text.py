@@ -384,15 +384,44 @@ def dedup_exact(spark, sf):
     )
 
 
-# word-3-gram shingles as 'w1 w2 w3' strings — shared shape for jaccard/minhash
-_SHINGLE_SQL = """
-      SELECT doc_id, list_distinct([
+# The ONE oracle recipe family for the dedup/LSH ops — every oracle that
+# shingles, signs, or pairs documents composes these three, so n-gram
+# window, band count, and hash salt can never diverge between oracles
+# (the Spark twins share ner_spark/functions/dedup.py the same way).
+
+
+def _gram_sql(src: str) -> str:
+    # distinct word-3-gram rows (doc_id, s) for an arbitrary CTE/table
+    return f"""
+      SELECT doc_id, UNNEST(list_distinct([
                array_to_string(toks[i:i+2], ' ')
                FOR i IN range(1, len(toks) - 1)
-             ]) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      WHERE len(toks) >= 3
-"""
+             ])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+      WHERE len(toks) >= 3"""
+
+
+def _sig_sql(src: str) -> str:
+    # banded MD5 minhash signatures (doc_id, band, minhash) — the oracle
+    # twin of functions/dedup.py minhash_signatures(hash_fn=MD5)
+    return f"""
+      SELECT doc_id, b.band,
+             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
+      FROM ({_gram_sql(src)}) g,
+           (SELECT UNNEST(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, b.band"""
+
+
+def _pairs_sql(src: str) -> str:
+    # LSH candidate pairs (doc_a, doc_b, n_band_hits >= 2) — the oracle
+    # twin of functions/dedup.py lsh_pairs_from_signatures
+    return f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_band_hits
+      FROM ({_sig_sql(src)}) a JOIN ({_sig_sql(src)}) b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2"""
 
 
 def _shingles_df(spark, sf):
@@ -407,8 +436,7 @@ def _shingles_df(spark, sf):
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    ex0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    WITH ex0 AS ({_gram_sql('documents')}),
     hot AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 50),
     ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
@@ -467,19 +495,8 @@ def dedup_ngram_jaccard(spark, sf):
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sig AS (
-      SELECT doc_id, b.band,
-             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
-      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
-      GROUP BY doc_id, b.band)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(*) AS n_band_hits
-    FROM sig a JOIN sig b
-      ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= 2
+    WITH pairs AS ({_pairs_sql('documents')})
+    SELECT doc_a, doc_b, n_band_hits FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark, sf):
@@ -844,19 +861,7 @@ def ann_lsh_bucketed(spark, sf):
 # MinHash-LSH pairs -> transitive-closure clusters, shared by the three
 # cluster-consuming oracles (dedup_cluster / dedup_keep_best /
 # curation_decide) so the recipe cannot diverge between them
-_CLUSTERS_CTE = f"""sh AS ({_SHINGLE_SQL}),
-    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sig AS (
-      SELECT doc_id, b.band,
-             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
-      FROM ex, (SELECT UNNEST(generate_series(0, 7)) AS band) b
-      GROUP BY doc_id, b.band),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-      HAVING COUNT(*) >= 2),
+_CLUSTERS_CTE = f"""pairs AS ({_pairs_sql('documents')}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -1306,30 +1311,11 @@ def dedup_keep_best(spark, sf):
     sort over members (the oracle uses ROW_NUMBER; the Spark plan must
     not). Cluster cardinality is bounded by near-dup structure, not
     corpus size, so no hot key beyond what LSH already bounds."""
-    clusters = dedup_cluster(spark, sf)
-    d = t(spark, sf, "documents").select("doc_id", "n_chars")
-    return (
-        clusters.join(d, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias(
-                "keep_doc_id"
-            ),
-            F.max("n_chars").alias("keep_n_chars"),
-        )
+    from ner_spark.plans.curation import cluster_winners
+
+    return cluster_winners(
+        t(spark, sf, "documents"), dedup_cluster(spark, sf)
     )
-
-
-def _gram_sql(src: str) -> str:
-    # distinct word-3-gram rows (doc_id, s) for an arbitrary CTE/table
-    return f"""
-      SELECT doc_id, UNNEST(list_distinct([
-               array_to_string(toks[i:i+2], ' ')
-               FOR i IN range(1, len(toks) - 1)
-             ])) AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
-      WHERE len(toks) >= 3"""
 
 
 @register(
@@ -1526,7 +1512,7 @@ def corpus_datacard(spark, sf):
                                   ORDER BY d.n_chars DESC, d.doc_id) AS rn
         FROM clusters c JOIN documents d USING (doc_id))
       WHERE rn = 1)
-    SELECT d.doc_id, c.cluster_id,
+    SELECT d.doc_id, d.source, c.cluster_id,
            (c.cluster_id IS NULL OR d.doc_id = w.keep_doc_id) AS keep
     FROM documents d
     LEFT JOIN clusters c USING (doc_id)
@@ -1546,18 +1532,6 @@ def curation_decide(spark, sf):
 
     out = curate(spark, t(spark, sf, "documents"), hash_fn=F.md5)
     return out["decision"]
-
-
-def _sig_sql(src: str) -> str:
-    # banded MD5 minhash signatures (doc_id, band, minhash) for an
-    # arbitrary CTE/table — the oracle twin of functions/dedup.py's
-    # minhash_signatures(hash_fn=MD5)
-    return f"""
-      SELECT doc_id, b.band,
-             MIN(MD5(CONCAT(CAST(b.band AS VARCHAR), '|', s))) AS minhash
-      FROM ({_gram_sql(src)}) g,
-           (SELECT UNNEST(generate_series(0, 7)) AS band) b
-      GROUP BY doc_id, b.band"""
 
 
 _DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"

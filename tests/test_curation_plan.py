@@ -58,11 +58,14 @@ def test_decision_invariants(spark):
         winner = max(grp.doc_id, key=lambda d: (nch[d], -d))
         assert kept.doc_id.iloc[0] == winner
 
-    # report reconciles with the decision table
+    # decision carries source (report needs no second corpus scan) and
+    # the report reconciles with it
+    assert dict(zip(dec.doc_id, dec.source)) == dict(
+        zip(docs.doc_id, docs.source)
+    )
     rep = out["report"].toPandas()
-    merged = dec.merge(docs[["doc_id", "source"]], on="doc_id")
     for r in rep.itertuples():
-        g = merged[merged.source == r.source]
+        g = dec[dec.source == r.source]
         assert r.n_docs == len(g) and r.n_kept == int(g.keep.sum())
 
 

@@ -82,8 +82,12 @@ def test_signatures_are_per_row(spark):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning" not in plan.lower()
-    assert plan.lower().count("exchange") <= 1  # only the round-robin spread
+    lower = plan.lower()
+    n_ex = lower.count("exchange")
+    assert n_ex <= 1, plan
+    if n_ex:  # the single allowed exchange must be the keyless spread
+        assert "roundrobinpartitioning" in lower, plan
+        assert "hashpartitioning" not in lower and "rangepartitioning" not in lower
 
 
 def test_dedup_cluster_is_valid_partition(spark):
