@@ -140,6 +140,33 @@ def run_kg(spark, size: str) -> dict:
     }
 
 
+def run_curation(spark, sf_dir: str) -> dict:
+    """End-to-end staged curation pipeline (plans/curation.py) with every
+    stage materialized to a temp warehouse — the training-data analogue
+    of run_kg. JVM-only (no python workers), so it runs in the plain
+    post-restart session with the headline queries."""
+    from ner_spark.plans.curation import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # parquet metadata count — not part of the timed run
+    warehouse = tempfile.mkdtemp(prefix="curation_bench_")
+    try:
+        t0 = time.perf_counter()
+        out = curate(
+            spark, docs, warehouse=warehouse, run_id="bench", resume=False
+        )
+        n_kept = out["decision"].where("keep").count()  # materialized stage
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "kept": n_kept,
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=None, help="override spark master")
@@ -182,12 +209,16 @@ def main() -> None:
         spark = get_spark(master=a.master, app="ner-spark-bench")
         restart_sec = round(time.perf_counter() - t_r, 3)
 
+    cur = None
     if not a.kg_only:
         import ner_spark.queries_graph  # noqa: F401
         import ner_spark.queries_kg  # noqa: F401  (stream_* entries)
         import ner_spark.queries_relational  # noqa: F401
         import ner_spark.queries_text  # noqa: F401
         from ner_spark.registry import QUERIES
+
+        cur = run_curation(spark, a.sf_dir)
+        timings["curation_pipeline"] = cur["sec"]
 
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -202,6 +233,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "kg": kg,
+        "curation": cur,
         "restart_sec": restart_sec,
         "master": a.master or f"local[{CPUS}]",
     }
