@@ -1593,3 +1593,35 @@ def merge_upsert_orders(spark, sf):
         )
     )
     return base.unionByName(delta.withColumn("src", F.lit("delta")))
+
+
+@register(
+    "json_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS VARCHAR) AS missing_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_variant(spark, sf):
+    """Semi-structured access via Spark 4's VARIANT type: parse_json once
+    into the binary variant encoding, then typed variant_get paths — the
+    engine-native alternative to per-access string re-parsing
+    (json_funcs covers the classic get_json_object path; at scale
+    variant parses each props cell once and every subsequent path access
+    is a binary probe, and Parquet variant shredding pushes the parse
+    into the scan). try_variant_get yields NULL on a missing path,
+    matching the oracle's json_extract_string semantics — the same
+    missing-key contract ADVICE round 1 pinned for map element_at."""
+    e = t(spark, sf, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing_val"),
+        F.when(k > 50, "high").otherwise("low").alias("k_band"),
+    )

@@ -1652,3 +1652,59 @@ def text_normalize(spark, sf):
         F.length(norm).cast("int").alias("norm_len"),
         F.md5(F.regexp_replace(norm, "[0-9]+", "0")).alias("norm_md5"),
     )
+
+
+_CHUNK_TOKENS = 32
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(
+               0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS INT) - 1))
+               AS chunk_idx
+      FROM tk)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * {_CHUNK_TOKENS} + 1 :
+                         (chunk_idx + 1) * {_CHUNK_TOKENS}]) AS INT)
+             AS n_tokens,
+           MD5(array_to_string(
+                 toks[chunk_idx * {_CHUNK_TOKENS} + 1 :
+                      (chunk_idx + 1) * {_CHUNK_TOKENS}], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def chunk_documents(spark, sf):
+    """Fixed-budget document chunking — the context-window prep step of
+    retrieval/training pipelines: each doc becomes ceil(n_tok/32) chunks
+    of <= 32 tokens, with the MD5 of each chunk's text proving
+    byte-identical chunk boundaries across engines.
+
+    Deliberately NOT a Python UDTF: a UDTF's eval() is row-at-a-time
+    Python, which the binding API constraint (BASELINE input_hint: "no
+    per-row Python") rules out — and the JVM formulation
+    (sequence → transform(slice) → posexplode) is strictly better here:
+    whole-stage codegen, zero Python crossing, one Generate node. Scale
+    shape: per-row explode with bounded fanout (n_tok/32), no shuffle."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_TOKENS))).cast("int")
+    chunk = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS), " "
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.split("chunk_text", " ")).cast("int").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -38,28 +38,36 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fname, text in zip(pdf["file"], pdf["value"]):
-                doc, sent, tok = -1, 0, 0
-                started = False
-                for line in text.splitlines():
-                    line = line.strip()
-                    if line.startswith("-DOCSTART-"):
-                        doc, sent, tok, started = doc + 1, 0, 0, False
-                        continue
-                    if not line:
-                        if started:
-                            sent, tok, started = sent + 1, 0, False
-                        continue
-                    cols = line.split()
-                    rows.append(
-                        (fname, max(doc, 0), sent, tok, cols[0], cols[-1])
-                    )
-                    tok, started = tok + 1, True
+                rows.extend(parse_conll_text(fname, text))
             yield pd.DataFrame(
                 rows,
                 columns=["file", "doc_idx", "sent_idx", "tok_idx", "token", "gold"],
             )
 
     return files.mapInPandas(parse, CONLL_SCHEMA)
+
+
+def parse_conll_text(fname: str, text: str) -> list[tuple]:
+    """One file's CoNLL blocks → (file, doc_idx, sent_idx, tok_idx, token,
+    gold) tuples — the single parse implementation behind both the
+    mapInPandas reader (read_conll) and the registered Python DataSource
+    (ConllDataSource), so the two ingest paths cannot drift."""
+    rows: list[tuple] = []
+    doc, sent, tok = -1, 0, 0
+    started = False
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("-DOCSTART-"):
+            doc, sent, tok, started = doc + 1, 0, 0, False
+            continue
+        if not line:
+            if started:
+                sent, tok, started = sent + 1, 0, False
+            continue
+        cols = line.split()
+        rows.append((fname, max(doc, 0), sent, tok, cols[0], cols[-1]))
+        tok, started = tok + 1, True
+    return rows
 
 
 def write_conll_fixture(out_path: str, size: str = "small") -> str:
@@ -99,3 +107,63 @@ def write_conll_fixture(out_path: str, size: str = "small") -> str:
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return out_path
+
+
+# -- Spark 4 Python DataSource: spark.read.format("conll") -------------------
+# The connector-API form of the same ingest (§2.1): after
+# spark.dataSource.register(ConllDataSource), any session reads CoNLL
+# corpora like a built-in format. Files are the input partitions (the
+# reference CLI's unit of work), so a directory of N corpus files scans
+# N-way parallel; rows ship to the JVM as Arrow batches. Python-side
+# parsing here is source I/O (the same work read_conll does in its
+# mapInPandas stage), not a per-row transformation UDF.
+
+try:  # pyspark >= 4 only; import-gated like the other optional surfaces
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class ConllDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "conll"
+
+        def schema(self) -> str:
+            return CONLL_SCHEMA
+
+        def reader(self, schema):
+            return _ConllReader(self.options)
+
+    class _ConllReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("conll source requires a load(path)")
+
+        def partitions(self):
+            import glob
+
+            if os.path.isdir(self.path):
+                files = sorted(
+                    f
+                    for f in glob.glob(
+                        os.path.join(self.path, "**"), recursive=True
+                    )
+                    if os.path.isfile(f)
+                )
+            else:
+                files = [self.path]
+            if not files:
+                raise FileNotFoundError(self.path)
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            fname = partition.value
+            with open(fname, encoding="utf-8") as fh:
+                text = fh.read()
+            yield from parse_conll_text(fname, text)
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    ConllDataSource = None

@@ -69,3 +69,20 @@ def test_span_prf_counts_errors(spark, oracle_small):
     assert prf.loc["__all__", "fn"] == 5
     assert prf.loc["__all__", "fp"] == 5
     assert prf.loc["__all__", "tp"] == len(gold_pdf) - 5
+
+
+def test_datasource_matches_mapinpandas_reader(spark, conll_path):
+    """The registered Python DataSource (format 'conll') must produce the
+    same token rows as the mapInPandas reader — one parse implementation,
+    two ingest surfaces."""
+    from ner_spark.sources.conll import ConllDataSource
+
+    spark.dataSource.register(ConllDataSource)
+    via_ds = spark.read.format("conll").load(conll_path).toPandas()
+    via_map = read_conll(spark, conll_path).toPandas()
+    key = ["doc_idx", "sent_idx", "tok_idx"]
+    # normalize the file column (input_file_name yields a file:// URI)
+    via_map["file"] = via_map["file"].str.replace("file://", "", regex=False)
+    a = via_ds.sort_values(key).reset_index(drop=True)
+    b = via_map.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
