@@ -101,12 +101,31 @@ def minhash_lsh_pairs(
 
 
 def lsh_pairs_from_signatures(
-    sig: DataFrame, min_band_hits: int = 2
+    sig: DataFrame, min_band_hits: int = 2, max_bucket: int | None = 1000
 ) -> DataFrame:
     """The LSH bucket self-join alone, over an existing (doc_id, band,
     minhash) signature table — split out so a staged pipeline can
     materialize signatures once (the full-corpus scan) and resume from
-    them (plans/curation.py)."""
+    them (plans/curation.py).
+
+    Bucket-size cap (default 1000, mirrored in the oracle _pairs_sql): a
+    bucket of d colliding docs contributes d^2 rows to the self-join, so
+    one degenerate bucket — boilerplate/empty/templated documents all
+    sharing a band minhash — turns the join quadratic at 100 TB. Those
+    docs are exact-dup-like (every member pairs with every other; the
+    hash-groupBy dedup_exact path is the right tool for them), so pair
+    enumeration inside giant buckets carries no near-dup signal worth
+    d^2 rows. Same guard class as the document-frequency cap on the
+    jaccard posting join. At the gate scales the largest bucket is ~20,
+    so the cap is behavior-preserving there."""
+    if max_bucket:
+        hot = (
+            sig.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "minhash")
+        )
+        sig = sig.join(hot, ["band", "minhash"], "left_anti")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

@@ -414,11 +414,20 @@ def _sig_sql(src: str) -> str:
 
 def _pairs_sql(src: str) -> str:
     # LSH candidate pairs (doc_a, doc_b, n_band_hits >= 2) — the oracle
-    # twin of functions/dedup.py lsh_pairs_from_signatures
+    # twin of functions/dedup.py lsh_pairs_from_signatures, including its
+    # bucket-size cap (> 1000 colliding docs = a degenerate bucket whose
+    # d^2 pair enumeration the production path refuses)
+    # the inner WITH is subquery-scoped, so the aliases cannot collide
+    # with the enclosing query's CTEs
     return f"""
+      WITH lsh_sig AS ({_sig_sql(src)}),
+      lsh_hot AS (SELECT band, minhash FROM lsh_sig
+                  GROUP BY 1, 2 HAVING COUNT(*) > 1000),
+      lsh_ok AS (SELECT lsh_sig.* FROM lsh_sig
+                 ANTI JOIN lsh_hot USING (band, minhash))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS n_band_hits
-      FROM ({_sig_sql(src)}) a JOIN ({_sig_sql(src)}) b
+      FROM lsh_ok a JOIN lsh_ok b
         ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2"""

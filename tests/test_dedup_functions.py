@@ -114,3 +114,24 @@ def test_dedup_cluster_is_valid_partition(spark):
     for doc, cl in assign.items():
         by_cluster.setdefault(cl, []).append(doc)
     assert all(cl == min(members) for cl, members in by_cluster.items())
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    """lsh_pairs_from_signatures must refuse pair enumeration inside
+    buckets larger than max_bucket (the d^2 guard) while still pairing
+    normal buckets."""
+    from ner_spark.functions.dedup import lsh_pairs_from_signatures
+
+    rows = []
+    # degenerate bucket: 50 docs colliding in both bands
+    for d in range(50):
+        rows += [(d, 0, "HOT"), (d, 1, "HOT2")]
+    # normal bucket: docs 100, 101 collide in 2 bands
+    rows += [(100, 0, "ok0"), (101, 0, "ok0"), (100, 1, "ok1"), (101, 1, "ok1")]
+    sig = spark.createDataFrame(rows, "doc_id long, band int, minhash string")
+
+    capped = lsh_pairs_from_signatures(sig, max_bucket=10).collect()
+    assert [(r.doc_a, r.doc_b, r.n_band_hits) for r in capped] == [(100, 101, 2)]
+
+    uncapped = lsh_pairs_from_signatures(sig, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1  # the d^2 the cap refuses
