@@ -56,6 +56,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python processes the JVM spawns OUTSIDE the addPyFile mechanism —
+    # the Python-DataSource planner/runner in particular — resolve
+    # imports from the inherited PYTHONPATH, so the repo root must be on
+    # it BEFORE the JVM launches (ensure_py_files covers executors, not
+    # these). No-op when the driver already set it (bench.py, jobs/).
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if root not in parts:
+        os.environ["PYTHONPATH"] = (
+            root + ((os.pathsep + os.environ["PYTHONPATH"])
+                    if os.environ.get("PYTHONPATH") else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     b = SparkSession.builder.master(master or f"local[{cpus}]").appName(app)
     conf = dict(DEFAULTS)

@@ -1,0 +1,49 @@
+"""Spark 4 Python streaming DataSource (sources/transcript_stream.py):
+micro-batched deterministic transcript feed vs the batch generator."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pandas as pd
+
+
+def test_stream_source_matches_batch_generator(spark):
+    from fixtures.gen import entity_catalog, transcripts_df
+    from ner_spark.sources.transcript_stream import TranscriptStreamDataSource
+
+    spark.dataSource.register(TranscriptStreamDataSource)
+    st = (
+        spark.readStream.format("transcript_gen")
+        .option("n_convs", "24")
+        .option("convs_per_batch", "8")
+        .load()
+    )
+    exp = transcripts_df(entity_catalog(42), seed=42, n_convs=24, n_hot=0)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            st.writeStream.option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName("tgen_test")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table("tgen_test").count() >= len(exp):
+                    break
+                time.sleep(0.5)
+            batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+
+    # genuinely micro-batched: 24 convs / 8 per batch = 3 non-empty batches
+    assert len(batches) == 3, [p["numInputRows"] for p in batches]
+    got = spark.table("tgen_test").toPandas()
+    key = ["conv_id", "turn_idx"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp[got.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
