@@ -265,3 +265,42 @@ def stream_static_enrich(spark, sf):
     ).select("event_id", "c_name", F.round("value", 6).alias("value"))
     with tempfile.TemporaryDirectory() as ckpt:
         return S.run_available_now(j, ckpt, "q_stream_static_enrich")
+
+
+@register("stream_transcript_source")
+def stream_transcript_source(spark, sf):
+    """§2.1/§2.9 custom-connector ingest: the Spark 4 Python streaming
+    DataSource (format 'transcript_gen') in distributed mode —
+    ``partitions()`` carves the conversation range into slices and each
+    EXECUTOR generates its slice from a range-derived seed (no corpus on
+    the driver), drained with trigger(availableNow) into a per-role
+    rollup. No SQL oracle (the feed is generated, not a testdata view);
+    row-level parity vs the single-process range generator and the
+    multi-partition fan-out are pinned in tests/test_transcript_stream.py."""
+    from ner_spark.sources.transcript_stream import TranscriptStreamDataSource
+    from ner_spark.streaming import incremental as S
+
+    spark.dataSource.register(TranscriptStreamDataSource)
+    st = (
+        spark.readStream.format("transcript_gen")
+        .option("distributed", "true")
+        .option("n_convs", "32")
+        .option("convs_per_partition", "8")
+        .load()
+    )
+    agg = st.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .format("memory")
+            .queryName("stream_transcript_source")
+            .start()
+        )
+        S._await_drained(q, "stream_transcript_source", 300)
+    return spark.table("stream_transcript_source")

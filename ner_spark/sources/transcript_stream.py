@@ -12,15 +12,47 @@ been emitted", each batch advances by ``convs_per_batch``, and
 corpus is a pure function of the seed — the replayability contract
 checkpoint recovery depends on.
 
-A SimpleDataSourceStreamReader runs on the DRIVER and ships rows to
-executors (right for a bounded synthetic feed / control-plane source;
-a partition-parallel ``streamReader`` is the shape for real 100-TB
-ingest, where offsets would be Iceberg snapshot ids and partitions the
-snapshot's file manifests)."""
+Two reader shapes under one format name:
+
+* default — a SimpleDataSourceStreamReader on the DRIVER (right for a
+  bounded synthetic feed / control-plane source), micro-batched
+  ``convs_per_batch`` at a time with bit-identical replay;
+* ``option("distributed", "true")`` — a partition-parallel
+  ``DataSourceStreamReader``: ``partitions()`` carves the conversation
+  range into ``convs_per_partition`` slices and ``read(partition)``
+  GENERATES each slice on the EXECUTOR from a range-derived seed, so no
+  corpus ever materializes on the driver. This is the 100-TB ingest
+  shape, where offsets would be Iceberg snapshot ids and partitions the
+  snapshot's file manifests. Because the Python ``latestOffset()`` is
+  argless (the reader cannot see the checkpointed start after a
+  restart), the bounded distributed feed advertises full availability —
+  constant, hence restart-safe — and leaves rate-limited micro-batching
+  to the driver-side simple reader."""
 
 from __future__ import annotations
 
 from typing import Iterator, Tuple
+
+import pandas as pd
+
+
+def range_corpus_pdf(seed: int, lo: int, hi: int) -> "pd.DataFrame":
+    """The distributed source's per-partition generator (and the test
+    oracle): conversations [lo, hi) as a pure function of (seed, lo,
+    hi-lo). Each range draws from its own RNG (seed + 1000 + lo), then
+    conv ids / event times are re-labeled by +lo so ranges concatenate
+    into one corpus with globally unique conv ids and the same
+    ts = base + conv_no hours + turn_idx seconds law as fixtures.gen."""
+    from fixtures.gen import entity_catalog, transcripts_df
+
+    pdf = transcripts_df(
+        entity_catalog(seed), seed=seed + 1000 + lo, n_convs=hi - lo, n_hot=0
+    )
+    no = pdf.conv_id.str.lstrip("c").astype(int) + lo
+    return pdf.assign(
+        conv_id="c" + no.astype(str).str.zfill(8),
+        ts=pdf.ts + pd.to_timedelta(lo, unit="h"),
+    )
 
 TRANSCRIPT_DDL = (
     # ts is timestamp_ntz: the generator (and every fixture parquet) is
@@ -33,6 +65,8 @@ TRANSCRIPT_DDL = (
 try:  # pyspark >= 4 only; import-gated like ConllDataSource
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamReader,
+        InputPartition,
         SimpleDataSourceStreamReader,
     )
 
@@ -46,6 +80,52 @@ try:  # pyspark >= 4 only; import-gated like ConllDataSource
 
         def simpleStreamReader(self, schema):
             return _TranscriptStreamReader(self.options)
+
+        def streamReader(self, schema):
+            if str(self.options.get("distributed", "false")).lower() == "true":
+                return _TranscriptPartitionedStreamReader(self.options)
+            # raises PySparkNotImplementedError → the runtime falls back
+            # to simpleStreamReader (pyspark datasource_internal._streamReader)
+            return super().streamReader(schema)
+
+    class _ConvRangePartition(InputPartition):
+        def __init__(self, seed: int, lo: int, hi: int):
+            self.seed, self.lo, self.hi = seed, lo, hi
+
+    class _TranscriptPartitionedStreamReader(DataSourceStreamReader):
+        """Executor-parallel bounded feed: offset = conversations
+        emitted, one InputPartition per ``convs_per_partition`` slice,
+        rows generated ON THE EXECUTOR by range_corpus_pdf."""
+
+        def __init__(self, options):
+            self.n_convs = int(options.get("n_convs", "24"))
+            self.per_part = int(options.get("convs_per_partition", "8"))
+            self.seed = int(options.get("seed", "42"))
+
+        def initialOffset(self) -> dict:
+            return {"conv": 0}
+
+        def latestOffset(self) -> dict:
+            # constant full availability (see module docstring): the one
+            # batch still fans out over len(partitions()) executor tasks
+            return {"conv": self.n_convs}
+
+        def partitions(self, start: dict, end: dict) -> list:
+            lo, hi = start["conv"], end["conv"]
+            return [
+                _ConvRangePartition(self.seed, a, min(a + self.per_part, hi))
+                for a in range(lo, hi, self.per_part)
+            ]
+
+        def read(self, part) -> Iterator[Tuple]:
+            pdf = range_corpus_pdf(part.seed, part.lo, part.hi)
+            return iter(
+                (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+                for r in pdf.itertuples(index=False)
+            )
+
+        def commit(self, end: dict) -> None:
+            pass  # generated feed — nothing to clean up
 
     class _TranscriptStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):

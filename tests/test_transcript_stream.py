@@ -47,3 +47,54 @@ def test_stream_source_matches_batch_generator(spark):
     got_s = got.sort_values(key).reset_index(drop=True)
     exp_s = exp[got.columns].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_distributed_stream_source_parity_and_fanout(spark):
+    """option('distributed','true'): rows are generated ON EXECUTORS,
+    one task per conv slice; row-identical to the single-process
+    range_corpus_pdf oracle and genuinely partition-parallel."""
+    import pyspark.sql.functions as F
+
+    from ner_spark.sources.transcript_stream import (
+        TranscriptStreamDataSource,
+        range_corpus_pdf,
+    )
+
+    spark.dataSource.register(TranscriptStreamDataSource)
+    st = (
+        spark.readStream.format("transcript_gen")
+        .option("distributed", "true")
+        .option("n_convs", "32")
+        .option("convs_per_partition", "8")
+        .load()
+        .select("*", F.spark_partition_id().alias("pid"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            st.writeStream.option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName("tgen_dist")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow drain timed out"
+    got = spark.table("tgen_dist").toPandas()
+    assert got.pid.nunique() == 4, sorted(got.pid.unique())  # 32/8 slices
+    exp = pd.concat(
+        [range_corpus_pdf(42, a, a + 8) for a in range(0, 32, 8)],
+        ignore_index=True,
+    )
+    key = ["conv_id", "turn_idx"]
+    g = got.drop(columns=["pid"]).sort_values(key).reset_index(drop=True)
+    e = exp[g.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_stream_transcript_source_registry_entry(spark):
+    import ner_spark.queries_kg  # noqa: F401 — populates the registry
+
+    from ner_spark.registry import QUERIES
+
+    out = QUERIES["stream_transcript_source"](spark, "unused").toPandas()
+    assert set(out.role) == {"user", "assistant", "tool"}
+    assert out.n_turns.sum() > 0 and (out.n_chars > 0).all()
