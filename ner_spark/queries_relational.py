@@ -1257,6 +1257,255 @@ def tpch_q18_large_volume(spark, sf):
 
 
 @register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 1) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_12')
+          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_7'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations, grouped by (supplier nation, customer nation, ship year).
+    The nation dim is joined TWICE under different roles — the
+    disjunctive nation-pair predicate can only be applied after both
+    joins, so the scale-relevant plan keeps both nation joins broadcast
+    (25 rows) and leaves lineitem⋈orders⋈customer as the only
+    shuffles; the shipdate range pushes into the lineitem scan. Groups
+    are the 2 nation-pair × year cells; double sums over ≤40-row groups
+    make ROUND(...,1) add-order-safe."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_12")
+    ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_7"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (promo revenue): conditional aggregate over a
+    fact⋈dim join — the shipdate month pushes into the lineitem scan
+    (~1/70th of the fact), part broadcasts, and the ratio is computed in
+    one hash-aggregate pass (two conditional sums, no second scan). The
+    single-row division happens after both sums complete; ROUND(...,4)
+    on the percentage absorbs accumulation-order noise."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    OR of three conjunct groups mixing dim columns (brand, size) and
+    fact columns (quantity). The scale point is what the optimizer can
+    still push despite the OR: the per-side implied disjunctions
+    (p_brand IN (...) AND p_size <= 35; l_quantity BETWEEN 1 AND 30)
+    are derivable and the whole residual predicate evaluates inside the
+    broadcast-hash-join's whole-stage codegen — no fact shuffle at all.
+    Single-row output, ROUND(...,1)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the driver schema (no commit/receipt dates → 'this supplier shipped
+    last in a multi-supplier order', which preserves the interesting
+    structure: EXISTS + NOT EXISTS, both correlated on the outer fact
+    row with a non-equi conjunct in the anti branch). Catalyst rewrites
+    them to a LEFT SEMI and a LEFT ANTI self-join of lineitem on
+    orderkey (RewritePredicateSubquery) — two fact-fact shuffle joins
+    co-partitioned on the same key, which at 100 TB reuse one exchange;
+    nation broadcasts and the status filter pushes into the orders
+    scan. Deterministic (numwait DESC, s_name) cut."""
+    for name, alias in [
+        ("supplier", "__s_q21"),
+        ("lineitem", "__li_q21"),
+        ("orders", "__ord_q21"),
+        ("nation", "__n_q21"),
+    ]:
+        t(spark, sf, name).createOrReplaceTempView(alias)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM __s_q21
+        JOIN __li_q21 l1 ON s_suppkey = l1.l_suppkey
+        JOIN __ord_q21 ON o_orderkey = l1.l_orderkey
+        JOIN __n_q21 ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM __li_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM __li_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+        """
+    )
+
+
+@register(
+    "tpch_q22_dormant_value",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22_dormant_value(spark, sf):
+    """TPC-H Q22 shape (global-sales-opportunity), adapted to the
+    driver schema (every customer has orders and name prefixes are
+    constant → 'above-average-balance customers with no RECENT order',
+    grouped by segment). Preserves both structural features: an
+    uncorrelated scalar AVG subquery (computed once, broadcast into the
+    filter) and a correlated NOT EXISTS with an extra local predicate →
+    LEFT ANTI join against the date-filtered orders (the filter pushes
+    into the orders scan BEFORE the anti join, shrinking its build
+    side). Sum over ≤10-row groups → ROUND(...,2) is add-order-safe."""
+    t(spark, sf, "customer").createOrReplaceTempView("__cust_q22")
+    t(spark, sf, "orders").createOrReplaceTempView("__ord_q22")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM __cust_q22
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __cust_q22
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM __ord_q22
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
     "window_first_last",
     """
     SELECT event_id, user_id,
