@@ -1874,3 +1874,89 @@ def json_variant(spark, sf):
         F.try_variant_get("v", "$.missing", "string").alias("missing_val"),
         F.when(k > 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@register(
+    "window_sliding_events",
+    """
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM (
+      SELECT e.*,
+             -- CAST(double AS BIGINT) ROUNDS in DuckDB; events carry
+             -- sub-second ts, so floor() explicitly like Spark does
+             to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+                          - k * 300)
+               AT TIME ZONE 'UTC' AS window_start
+      FROM events e CROSS JOIN UNNEST([0, 1]) AS t(k)
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def window_sliding_events(spark, sf):
+    """S2 completion: SLIDING event-time windows in batch mode —
+    F.window(ts, '10 minutes', '5 minutes') assigns each event to
+    duration/slide = 2 epoch-aligned windows (the same expression the
+    streaming path uses; tumbling is stream_windowed_mentions). The
+    oracle replays Spark's window-assignment law literally: window
+    starts are floor(epoch/slide)*slide - k*slide for k in 0..1. Scale
+    shape: the 2x row expansion happens inside the hash-aggregate's
+    input (a Generate, no extra shuffle) and partial aggregation still
+    combines map-side, so the single exchange carries (window,type)
+    partials, not the doubled event stream."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "join_lateral_topk",
+    """
+    SELECT c_custkey, c_mktsegment, o.o_orderkey,
+           ROUND(o.o_totalprice, 6) AS o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def join_lateral_topk(spark, sf):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
+    per customer. The naive reading is a per-outer-row re-scan of
+    orders; Catalyst's DecorrelateInnerQuery turns the correlated LIMIT
+    into a partition-local rank over o_custkey joined back to the outer
+    (one shuffle of orders, one join — the same shape you'd hand-write
+    with row_number), so per-customer cost does not multiply the orders
+    scan at 100 TB. The executed plan is better still: WindowGroupLimit
+    runs a PARTIAL top-2-per-key pass map-side, so the exchange carries
+    at most 2 rows per customer, not the orders table. The
+    deterministic (price DESC, orderkey) tiebreak
+    pins the LIMIT-2 cut on both engines; the segment filter prunes the
+    outer before the join."""
+    t(spark, sf, "customer").createOrReplaceTempView("__cust_lat")
+    t(spark, sf, "orders").createOrReplaceTempView("__ord_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, o.o_orderkey,
+               ROUND(o.o_totalprice, 6) AS o_totalprice
+        FROM __cust_lat, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __ord_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c_mktsegment = 'MACHINERY'
+        """
+    )
