@@ -98,3 +98,57 @@ def test_stream_transcript_source_registry_entry(spark):
     out = QUERIES["stream_transcript_source"](spark, "unused").toPandas()
     assert set(out.role) == {"user", "assistant", "tool"}
     assert out.n_turns.sum() > 0 and (out.n_chars > 0).all()
+
+
+def test_connector_feeds_streaming_nlp(spark, tmp_path):
+    """Composition check: the distributed connector feeds the incremental
+    NLP+link stage, and its output is row-identical to the batch
+    detect_mentions -> link_mentions path on the same generated corpus."""
+    import pyspark.sql.functions as F
+
+    from fixtures.gen import (
+        entity_catalog,
+        entity_embeddings_df,
+        gazetteer_df,
+    )
+    from ner_spark.nlp.stage import detect_mentions
+    from ner_spark.operators.linking import gazetteer_norm, link_mentions
+    from ner_spark.sources.transcript_stream import (
+        TranscriptStreamDataSource,
+        range_corpus_pdf,
+    )
+    from ner_spark.streaming import incremental as S
+
+    cat = entity_catalog(42)
+    gaz = gazetteer_df(cat)
+    emb_pdf = entity_embeddings_df(cat)
+
+    spark.dataSource.register(TranscriptStreamDataSource)
+    st = (
+        spark.readStream.format("transcript_gen")
+        .option("distributed", "true")
+        .option("n_convs", "16")
+        .option("convs_per_partition", "4")
+        .load()
+        # the connector emits timestamp_ntz (generator parity); event-time
+        # ops want the session-zoned type, same as the file-stream schema
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    links = S.streaming_links(st, gaz, emb_pdf, spark)
+    got = S.run_available_now(links, str(tmp_path / "ck_conn"), "s_conn").toPandas()
+
+    exp_tx = pd.concat(
+        [range_corpus_pdf(42, a, a + 4) for a in range(0, 16, 4)],
+        ignore_index=True,
+    )
+    men = detect_mentions(spark.createDataFrame(exp_tx), gaz, spark)
+    exp = link_mentions(
+        men, gazetteer_norm(spark, gaz), spark.createDataFrame(emb_pdf)
+    ).toPandas()
+
+    assert len(exp) > 0
+    key = ["conv_id", "turn_idx", "start"]
+    cols = sorted(exp.columns)
+    g = got.sort_values(key, kind="mergesort").reset_index(drop=True)[cols]
+    e = exp.sort_values(key, kind="mergesort").reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
