@@ -2087,3 +2087,97 @@ def fuzzy_match_parts(spark, sf):
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
+
+
+@register(
+    "kg_export_ntriples",
+    r"""
+    SELECT line, md5(line) AS line_md5 FROM (
+      SELECT '<urn:supplier:' || l_suppkey || '> <urn:rel:supplies> '
+             || '<urn:part:' || l_partkey || '> .' AS line
+      FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+      UNION ALL
+      SELECT '<urn:part:' || p_partkey || '> <urn:prop:name> "'
+             || replace(replace(p_name, '\', '\\'), '"', '\"')
+             || '" .' AS line
+      FROM part)
+    """,
+)
+def kg_export_ntriples(spark, sf):
+    """KG materialization format: serialize edges as W3C N-Triples lines
+    — URI triples for the supplies relation (distinct supplier→part
+    pairs) plus literal triples for part names with the N-Triples
+    escaping order (backslash FIRST, then quote — the reverse order
+    corrupts pre-escaped backslashes). The md5 per line proves
+    byte-identical serialization across engines, the same trick as
+    text_pii_scrub/text_normalize. Scale shape: one distinct shuffle on
+    the edge key; formatting is row-parallel inside codegen and the
+    real sink is a text write of `line` — at 100 TB this is the export
+    job that hands the KG to a triple store."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    uri = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("<urn:supplier:"),
+                F.col("l_suppkey").cast("string"),
+                F.lit("> <urn:rel:supplies> <urn:part:"),
+                F.col("l_partkey").cast("string"),
+                F.lit("> ."),
+            ).alias("line")
+        )
+    )
+    esc = F.replace(
+        F.replace(F.col("p_name"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    lit_t = p.select(
+        F.concat(
+            F.lit("<urn:part:"),
+            F.col("p_partkey").cast("string"),
+            F.lit('> <urn:prop:name> "'),
+            esc,
+            F.lit('" .'),
+        ).alias("line")
+    )
+    out = uri.unionAll(lit_t)
+    return out.select("line", F.md5("line").alias("line_md5"))
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 6) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey % 10 = 0)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+                                l_discount, l_tax))
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf):
+    """C20's inverse: unpivot/melt wide metric columns into long
+    (key, metric, value) rows — the shape feature stores and metric
+    pipelines ingest. Spark's DataFrame.unpivot is a Generate (Expand)
+    inside the scan stage: the 4x row expansion never shuffles, and
+    column pruning still reaches the parquet scan for the 6 referenced
+    columns. The orderkey%10 cut keeps the differential mass bounded;
+    UNPIVOT drops NULL cells on both engines (none exist here)."""
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("val", 6).alias("val"),
+        )
+    )
