@@ -1717,3 +1717,187 @@ def chunk_documents(spark, sf):
         F.size(F.split("chunk_text", " ")).cast("int").alias("n_tokens"),
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH docs AS (SELECT doc_id, lower(text) AS tx FROM documents),
+    terms AS (
+      SELECT doc_id, unnest(string_split_regex(tx, '\s+')) AS term
+      FROM docs),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms
+           WHERE term <> '' GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl FROM docs),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+           WHERE term IN ('spark', 'merge', 'hash')
+           GROUP BY doc_id, term),
+    idf AS (SELECT term, LN(1 + (s.n_docs - COUNT(*) + 0.5)
+                              / (COUNT(*) + 0.5)) AS idf
+            FROM tf, stats s GROUP BY term, s.n_docs)
+    SELECT doc_id, ROUND(SUM(
+             idf.idf * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for the query
+    {spark, merge, hash} — the lexical-retrieval half of a training-data
+    search stack (the ANN entries are the dense half). Dataflow: one
+    explode→hash-agg pass builds term frequencies and doc lengths; the
+    corpus-level stats (N, avgdl) and the per-query-term document
+    frequencies are O(1)/O(|query|) aggregates joined back as
+    broadcasts, so the corpus shuffles ONCE on doc_id regardless of
+    query size; top-20 is TakeOrderedAndProject. At 100 TB the
+    (doc_id, term) space is per-document-bounded, same hot-key story as
+    text_repetition. Scores are rounded to 6 before the rank cut so
+    both engines cut identically (ties broken by doc_id)."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("tx")
+    )
+    terms = docs.select(
+        "doc_id", F.explode(F.split("tx", r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    tf = (
+        terms.where(F.col("term").isin("spark", "merge", "hash"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats).select("n_docs"))
+        .select(
+            "term",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    score = F.col("idf") * F.col("tf") * 2.2 / (
+        F.col("tf")
+        + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats).select("avgdl"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    """
+    WITH e_long AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, dim, val FROM e_long
+           WHERE vec_id % 125 = 0),
+    d1 AS (SELECT e.vec_id, c.cid,
+                  SUM((e.val - c.val) * (e.val - c.val)) AS d
+           FROM e_long e JOIN c0 c ON e.dim = c.dim GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cid FROM d1
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ROUND(d, 9), cid) = 1),
+    u1 AS (SELECT a.cid, e.dim, ROUND(AVG(e.val), 6) AS val
+           FROM a1 a JOIN e_long e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+    d2 AS (SELECT e.vec_id, c.cid,
+                  SUM((e.val - c.val) * (e.val - c.val)) AS d
+           FROM e_long e JOIN u1 c ON e.dim = c.dim GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cid FROM d2
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ROUND(d, 9), cid) = 1),
+    u2 AS (SELECT a.cid, e.dim, ROUND(AVG(e.val), 6) AS val
+           FROM a2 a JOIN e_long e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+    d3 AS (SELECT e.vec_id, c.cid,
+                  SUM((e.val - c.val) * (e.val - c.val)) AS d
+           FROM e_long e JOIN u2 c ON e.dim = c.dim GROUP BY 1, 2)
+    SELECT vec_id, cid, ROUND(d, 4) AS dist2 FROM d3
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY ROUND(d, 9), cid) = 1
+    """,
+)
+def kmeans_lloyd(spark, sf):
+    """Lloyd's k-means, 2 unrolled iterations, k=4, deterministic init
+    (every 125th vec_id) — the seeded coarse quantizer the ann_ivf_topk
+    docstring promises would "slot in unchanged". Cross-engine float
+    lockstep comes from two quantizations: the argmin ranks on
+    ROUND(dist, 9) with a lowest-cid tiebreak (the proven ann_ivf
+    pattern), and each updated centroid coordinate is ROUND(mean, 6) —
+    without the latter, engine-order accumulation noise in the means
+    could flip a later assignment.
+
+    Scale shape (Spark side): each ASSIGNMENT is the ann_ivf plan —
+    centroids broadcast (k rows), BroadcastNestedLoopJoin, squared-L2
+    as a zip_with fold inside codegen, then a min_by(struct) hash
+    aggregate whose partial aggregation collapses N x k to N rows
+    map-side (never a window over the cross product). Each UPDATE
+    posexplodes only the ASSIGNED vectors once: one (cid, dim) shuffle
+    of N x d skinny rows per iteration. The long-form joins live only
+    in the DuckDB oracle, which has no array broadcast."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def assign(cents):
+        d = F.aggregate(
+            F.zip_with("emb", "cemb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", F.col("cid"), d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "d"),
+                    F.struct(F.round("d", 9).alias("rd"), F.col("cid")),
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+        )
+
+    def update(assignment):
+        long = (
+            assignment.select("vec_id", "cid")
+            .join(e, "vec_id")
+            .select("cid", F.posexplode("emb"))
+            .toDF("cid", "dim", "val")
+        )
+        return (
+            long.groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s.val,
+                ).alias("cemb")
+            )
+        )
+
+    cents = e.where(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    for _ in range(2):
+        cents = update(assign(cents))
+    return assign(cents).select(
+        "vec_id", "cid", F.round("d", 4).alias("dist2")
+    )
