@@ -75,6 +75,8 @@ HEADLINE = [
     "dedup_minhash_fast",
     "ann_topk_bruteforce",
     "ann_topk_arrow",
+    "kmeans_lloyd",
+    "text_bm25_topk",
     "text_quality_score",
     "text_repetition",
     "pack_sequences",

@@ -317,3 +317,36 @@ def test_asof_cogroup_survives_column_pruning(spark):
 
     df = queries()["join_asof_cogroup"](spark, SF_DIR)
     assert df.count() == len(df.toPandas())
+
+
+def test_kmeans_assignment_is_partial_aggregate_not_window(spark):
+    plan = _plan(spark, "kmeans_lloyd")
+    # every assignment round: broadcast centroids -> BNLJ -> partial
+    # min_by; regressing to a row_number window over the N x k cross
+    # product is the scale-killer ann_ivf round 1 had
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min_by" in plan
+    assert "windowspecdefinition(vec_id" not in plan
+
+
+def test_bm25_stats_are_broadcast_and_topk_is_takeordered(spark):
+    plan = _plan(spark, "text_bm25_topk")
+    # the O(1)/O(|query|) side tables join back as broadcasts; the final
+    # cut is TakeOrderedAndProject, never a global sort
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" in plan  # tokenization is a pipelined Generate
+
+
+def test_lateral_topk_is_map_side_window_group_limit(spark):
+    plan = _plan(spark, "join_lateral_topk")
+    # DecorrelateInnerQuery + WindowGroupLimit: a PARTIAL top-k per key
+    # runs before the exchange, so the shuffle carries <=k rows per key
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_shuffle_free_expand(spark):
+    plan = _plan(spark, "unpivot_lineitem_metrics")
+    assert "Expand" in plan
+    assert "Exchange" not in plan  # melt never shuffles
