@@ -304,7 +304,14 @@ def run_scaling() -> None:
         for _ in range(repeat):
             out = os.path.join(tempfile.gettempdir(), f"kg_scale_{n}.json")
             env = dict(
-                os.environ, SPARK_GRAFT_CPUS=str(n), SPARK_GRAFT_KG_SIZE=size
+                os.environ,
+                SPARK_GRAFT_CPUS=str(n),
+                SPARK_GRAFT_KG_SIZE=size,
+                # one build per JVM: the scaling min is taken ACROSS the
+                # fresh-JVM repeats here — the in-process min-of-2 the
+                # headline bench uses would double every scaling run for
+                # a weaker (same-JVM, warm) min
+                SPARK_GRAFT_KG_REPEAT="1",
             )
             subprocess.run(
                 [sys.executable, os.path.join(_ROOT, "bench.py"),

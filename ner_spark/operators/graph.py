@@ -256,3 +256,43 @@ def bfs_hops(
         return visited
     finally:
         und.unpersist()
+
+
+def jaccard_similarity(edges: DataFrame) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every node pair sharing at
+    least one neighbor: |N(a) ∩ N(c)| / |N(a) ∪ N(c)| — the classic
+    link-prediction / entity-consolidation signal over the KG edge
+    table. Returns (a, c, n_common, jaccard) with a < c.
+
+    Candidate pairs come from the WEDGE join (two adjacency rows
+    meeting at a shared neighbor) — an equi-join on the neighbor id,
+    never an all-pairs product — and the union size is computed from
+    degrees (deg(a) + deg(c) - common), so neighbor SETS are never
+    materialized per pair. Per-neighbor fanout is deg(n)^2, the same
+    hub hazard as triangle counting: at 100 TB the guards are the
+    co-occurrence threshold upstream, a degree cap on hubs, or swapping
+    exact Jaccard for the MinHash estimate this repo already owns
+    (functions/dedup.py) over adjacency lists."""
+    und = _symmetrize(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = und.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    c = und.select(F.col("src").alias("c"), F.col("dst").alias("n"))
+    common = (
+        a.join(c, "n")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("src").alias("c"), F.col("deg").alias("deg_c")), "c")
+        .select(
+            "a",
+            "c",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_c") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -146,3 +146,27 @@ def test_label_propagation_star_adopts_hub_minimum(spark):
         for r in label_propagation(_edges_df(spark, pairs), iters=1).collect()
     }
     assert got == {1: 9, 2: 9, 3: 9, 9: 1}
+
+
+def test_jaccard_similarity_hand_computed(spark):
+    from ner_spark.operators.graph import jaccard_similarity
+
+    # path 1-2-3 plus edge 1-3 (triangle) with tail 3-4:
+    # N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    got = {
+        (r["a"], r["c"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_similarity(_edges_df(spark, pairs)).collect()
+    }
+    # (1,2): common={3} union={1,2,3} -> 1/3 ; (1,3): common={2} deg 2+3-1=4
+    # (2,3): common={1} -> 1/4 ; (1,4)&(2,4): common={3} -> 1/2 and 1/2
+    exp = {
+        (1, 2): (1, 1 / 3),
+        (1, 3): (1, 1 / 4),
+        (2, 3): (1, 1 / 4),
+        (1, 4): (1, 1 / 2),
+        (2, 4): (1, 1 / 2),
+    }
+    assert set(got) == set(exp), got
+    for k, (n, j) in exp.items():
+        assert got[k][0] == n and abs(got[k][1] - j) < 1e-12, (k, got[k])
