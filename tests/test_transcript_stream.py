@@ -152,3 +152,61 @@ def test_connector_feeds_streaming_nlp(spark, tmp_path):
     g = got.sort_values(key, kind="mergesort").reset_index(drop=True)[cols]
     e = exp.sort_values(key, kind="mergesort").reset_index(drop=True)[cols]
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_stream_source_kill_and_resume_exactly_once(spark, tmp_path):
+    """Checkpoint recovery over the custom source: stop the query after
+    the first micro-batch commits, restart on the SAME checkpoint and
+    sink — the WAL + readBetweenOffsets replay must deliver every turn
+    exactly once (no dups from replay, no gaps from the kill)."""
+    from fixtures.gen import entity_catalog, transcripts_df
+    from ner_spark.sources.transcript_stream import TranscriptStreamDataSource
+
+    spark.dataSource.register(TranscriptStreamDataSource)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("transcript_gen")
+            .option("n_convs", "24")
+            .option("convs_per_batch", "8")
+            .load()
+            .writeStream.option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+
+    exp = transcripts_df(entity_catalog(42), seed=42, n_convs=24, n_hot=0)
+
+    q1 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.3)
+    finally:
+        q1.stop()
+    q1.awaitTermination(60)
+
+    n_mid = spark.read.parquet(sink).count()
+    assert 0 < n_mid, "first batch never committed"
+
+    q2 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.read.parquet(sink).count() >= len(exp):
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == len(exp), (len(got), len(exp), n_mid)
+    key = ["conv_id", "turn_idx"]
+    assert not got.duplicated(key).any()
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp[got.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
