@@ -2181,3 +2181,37 @@ def unpivot_lineitem_metrics(spark, sf):
             F.round("val", 6).alias("val"),
         )
     )
+
+
+@register(
+    "window_range_time",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w_hour, 6) AS hour_sum,
+           COUNT(*) OVER w_hour AS hour_n
+    FROM events
+    WINDOW w_hour AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW)
+    """,
+)
+def window_range_time(spark, sf):
+    """C22 completion: event-time RANGE frames — the trailing-hour
+    rolling aggregate per user, the physical-unit frame ROWS cannot
+    express. RANGE frames are peer-inclusive (every row with equal ts
+    is in or out together), so the result is order-independent and
+    needs no tiebreak — unlike every ROWS entry in this registry, which
+    pins a total order. One shuffle on user_id; the frame scan is the
+    sliding-window pass inside the sort-based window operator."""
+    t(spark, sf, "events").createOrReplaceTempView("__ev_rt")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER w_hour, 6) AS hour_sum,
+               COUNT(*) OVER w_hour AS hour_n
+        FROM __ev_rt
+        WINDOW w_hour AS (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW)
+        """
+    )
