@@ -292,7 +292,11 @@ def run_scaling() -> None:
     """
     from fixtures.gen import ensure_fixture_dir
 
-    size = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "scale")
+    # scale2 (~7.3M turns) is the canonical north-rule input: big enough
+    # that parallel compute dominates the ~30-50s fixed per-run cost.
+    # The smaller 'scale' (~3.6M) input measures ~0.78 for exactly that
+    # fixed-cost reason (see BENCH/BASELINE.md) — don't default to it.
+    size = os.environ.get("SPARK_GRAFT_SCALE_SIZE", "scale2")
     pair = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
     )
