@@ -118,7 +118,7 @@ def run_kg(spark, size: str) -> dict:
     # min-of-N (default 2): single runs on this sandbox vary 45-58s under
     # bursty host contention; min of two full builds is the reproducible
     # number (same de-noising as --scaling / the per-query timings)
-    reps = int(os.environ.get("SPARK_GRAFT_KG_REPEAT", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_KG_REPEAT", "2")))
     wall = None
     for _ in range(reps):
         warehouse = tempfile.mkdtemp(prefix="kg_bench_")
@@ -241,7 +241,7 @@ def main() -> None:
         # deterministic plan is the standard de-noising — the KG and
         # curation phases above stay single-run (they dominate wall time
         # and their throughput is cross-checked by --scaling min-of-2)
-        reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "2"))
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "2")))
         for name in HEADLINE:
             best = None
             for _ in range(reps):

@@ -155,8 +155,6 @@ try:  # pyspark >= 4 only; import-gated like ConllDataSource
             return {"conv": 0}
 
         def _rows(self, lo: int, hi: int) -> list:
-            # a LIST, not a generator: the simple-reader runtime pickles
-            # the prefetched batch to cache it for replay
             pdf = self._corpus()
             part = pdf[(pdf._no >= lo) & (pdf._no < hi)]
             return [
@@ -165,9 +163,15 @@ try:  # pyspark >= 4 only; import-gated like ConllDataSource
             ]
 
         def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+            # must be an ITERATOR, not a list: when the bounded feed is
+            # exhausted (end == start) the runtime validates emptiness by
+            # calling next() and expecting StopIteration — a list raises
+            # TypeError there and kills the query right after the last
+            # batch drains (pyspark datasource_internal
+            # _SimpleStreamReaderWrapper.add_result_to_cache)
             lo = start["conv"]
             hi = min(lo + self.per_batch, self.n_convs)
-            return self._rows(lo, hi), {"conv": hi}
+            return iter(self._rows(lo, hi)), {"conv": hi}
 
         def readBetweenOffsets(
             self, start: dict, end: dict

@@ -29,14 +29,17 @@ def test_stream_source_matches_batch_generator(spark):
             .start()
         )
         try:
+            # poll on PROGRESS, not the sink count: rows land in the
+            # memory sink before the batch's progress event is appended,
+            # so a count-based break can observe only 2 of 3 events
             deadline = time.time() + 120
             while time.time() < deadline:
-                if spark.table("tgen_test").count() >= len(exp):
+                batches = [
+                    p for p in q.recentProgress if p["numInputRows"] > 0
+                ]
+                if sum(p["numInputRows"] for p in batches) >= len(exp):
                     break
                 time.sleep(0.5)
-            batches = [
-                p for p in q.recentProgress if p["numInputRows"] > 0
-            ]
         finally:
             q.stop()
 
@@ -169,9 +172,13 @@ def test_stream_source_kill_and_resume_exactly_once(spark, tmp_path):
         return (
             spark.readStream.format("transcript_gen")
             .option("n_convs", "24")
-            .option("convs_per_batch", "8")
+            .option("convs_per_batch", "6")
             .load()
             .writeStream.option("checkpointLocation", ckpt)
+            # a real trigger cadence so the kill lands MID-stream (with
+            # the default ASAP trigger the 4 tiny batches drain before
+            # the poll loop ever sees the first progress event)
+            .trigger(processingTime="1 second")
             .format("parquet")
             .option("path", sink)
             .start()
