@@ -2215,3 +2215,37 @@ def window_range_time(spark, sf):
                                 AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "array_hof_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding,
+               x -> CAST(x AS DOUBLE) > 2.0)) > 0 AS has_big,
+           len(list_filter(embedding,
+               x -> NOT (abs(CAST(x AS DOUBLE)) < 10))) = 0 AS all_small
+    FROM embeddings
+    """,
+)
+def array_hof_funcs(spark, sf):
+    """§2.8 completion: the predicate higher-order functions — filter,
+    exists, forall — over the embedding vectors, all evaluated inside
+    whole-stage codegen (no shuffle, no Python). The oracle expresses
+    exists/forall as length-of-filter identities, the common subset
+    DuckDB's list functions share with Spark's HOFs; comparisons are on
+    exactly-representable float-to-double casts, so booleans are
+    engine-identical."""
+    e = t(spark, sf, "embeddings")
+    x_pos = F.filter("embedding", lambda x: x > F.lit(0.0))
+    return e.select(
+        "vec_id",
+        F.size(x_pos).alias("n_pos"),
+        F.exists("embedding", lambda x: x.cast("double") > 2.0).alias(
+            "has_big"
+        ),
+        F.forall("embedding", lambda x: F.abs(x.cast("double")) < 10).alias(
+            "all_small"
+        ),
+    )
