@@ -62,6 +62,39 @@ def test_ivf_assignment_is_partial_aggregate_not_window(spark):
     )
 
 
+def test_ivf_training_updates_are_partial_aggregates(spark):
+    """The trained quantizer's Lloyd updates (round-3 item 1): centroid
+    means are hash aggregates over (cid, dim) skinny rows — partial
+    map-side combine, no window, no collect-to-driver training loop."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "partial_avg" in plan  # centroid update combines map-side
+    # probe-cell ranking windows over the bounded query sample only
+    assert "windowspecdefinition(vec_id" not in plan
+
+
+def test_lsh_candidate_join_is_bucket_equi_join(spark):
+    """Multi-probe SRP-LSH (round-3 item 2): the candidate join keys on
+    the bucket id (hash-partitionable equi-join); the multi-probe explode
+    lands on the bounded query side, never the N-row index side."""
+    plan = _plan(spark, "ann_lsh_bucketed")
+    assert "NestedLoop" not in plan
+    assert "Generate explode" in plan  # probe masks explode (query side)
+    joins = [l for l in plan.splitlines() if "Join" in l and "probe" in l]
+    assert joins, plan  # equi-join keyed on the probe/bucket pair
+
+
+def test_embedding_dedup_blocks_on_srp_bucket(spark):
+    """dedup_embedding_cosine (round-3 item 3): candidate pairs come from
+    an equi-join on the SRP bucket (cardinality 2**n_bits, a parameter),
+    not the round-2 per-label all-pairs join (O(block^2) with a fixed
+    handful of labels)."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "NestedLoop" not in plan
+    assert "label" not in plan  # label no longer read at all (pruned scan)
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("bucket" in l for l in join_lines), join_lines
+
+
 def test_salted_agg_is_two_level(spark):
     plan = _plan(spark, "salted_two_level_agg")
     # both aggregation levels carry partial+final pairs

@@ -7,7 +7,10 @@ sf0.1 catches scale-dependent bugs the gate can't: thresholds that go
 vacuous or explode, selectivity artifacts, accumulation-order noise
 that outgrows its rounding.
 
-    python tools/sweep_oracle_values.py [sf_dir]
+    python tools/sweep_oracle_values.py [sf_dir] [only_name ...]
+
+Optional trailing args restrict the sweep to the named entries (fast
+iteration on a query under repair).
 """
 import os
 import sys
@@ -36,6 +39,9 @@ for tb in TABLES:
     con.execute(f"CREATE VIEW {tb} AS SELECT * FROM '{sf}/{tb}.parquet'")
 
 oracles = E.oracle_sql()
+only = sys.argv[2:]
+if only:
+    oracles = {k: v for k, v in oracles.items() if k in only}
 failures, empties = [], []
 t0 = time.time()
 for name, sql in oracles.items():
