@@ -2,14 +2,17 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages
 (SURVEY.md §2.10; task-brief "multimodal columns").
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the *decode*
-step is stubbed: payloads synthesized by :func:`media_table` carry the
-``x-fake`` format, which decodes deterministically via ``np.frombuffer``;
-any real format (jpeg/png/wav/...) raises ``NotImplementedError`` at the
-decode boundary — swap :func:`decode_image` / :func:`decode_audio` for a
-codec-backed implementation on a real cluster. Everything around the stub
+Two REAL container formats run end-to-end on stdlib-only codecs
+(ner_spark/codecs.py, round-3 VERDICT item 4): PNG (zlib inflate + full
+filter-set unfiltering + CRC checks) and WAV (stdlib ``wave`` PCM).
+:func:`media_table` emits half its payloads in those containers, so the
+registry entries decode genuine formats every run. The ``x-fake`` format
+(raw ``np.frombuffer``) remains for the stub path, and codec-library-only
+formats (jpeg/...) still raise ``NotImplementedError`` at the decode
+boundary — swap in PIL/turbojpeg there on a real cluster. Everything else
 is production-shaped: binary Arrow transfer, struct metadata, batch
-processing, binary-in/binary-out resize, per-row frame sampling.
+processing, binary-in/binary-out resize (PNG in → PNG out), per-row frame
+sampling.
 
 Scale notes: payload rows are wide (binary), so stages keep
 maxRecordsPerBatch-bounded Arrow batches; operators are row-parallel
@@ -24,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ner_spark.codecs import decode_png, decode_wav, encode_png, encode_wav
 
 FAKE_FORMAT = "x-fake"
 
@@ -51,7 +56,15 @@ def media_table(documents: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
         F.struct(
-            F.lit(FAKE_FORMAT).alias("format"),
+            # half the corpus ships in REAL containers (PNG for images,
+            # WAV for audio/video tracks) so the decode path below is a
+            # genuine codec round-trip, not just the x-fake stub
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.when(F.col("doc_id") % 3 == 0, "png").otherwise("wav"),
+            )
+            .otherwise(FAKE_FORMAT)
+            .alias("format"),
             ((F.col("n_chars") * 7) % 512 + 16).cast("int").alias("width"),
             ((F.col("n_chars") * 13) % 512 + 16).cast("int").alias("height"),
             F.lit(16000).alias("sample_rate"),
@@ -69,7 +82,15 @@ def media_table(documents: DataFrame) -> DataFrame:
                     n = meta["duration_ms"]
                 # deterministic bytes: splitmix-style counter stream
                 rng = np.random.default_rng(int(doc_id))
-                payloads.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+                raw = rng.integers(0, 256, n, dtype=np.uint8)
+                if meta["format"] == "png":
+                    payloads.append(
+                        encode_png(raw.reshape(meta["height"], meta["width"]))
+                    )
+                elif meta["format"] == "wav":
+                    payloads.append(encode_wav(raw, meta["sample_rate"]))
+                else:
+                    payloads.append(raw.tobytes())
             pdf = pdf.copy()
             pdf["payload"] = payloads
             yield pdf[["doc_id", "kind", "payload", "meta"]]
@@ -81,7 +102,16 @@ def media_table(documents: DataFrame) -> DataFrame:
 # decode stubs (the only not-real part; see module docstring)
 # ---------------------------------------------------------------------------
 def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """bytes → (height, width) uint8 array. Real formats need a codec."""
+    """bytes → (height, width) uint8 array. PNG decodes through the real
+    stdlib-zlib codec (color collapses to integer luma so downstream
+    schemas stay rank-2); jpeg et al. still need a codec library."""
+    if meta["format"] == "png":
+        a = decode_png(payload)
+        if a.ndim == 3:  # RGB(A) → luma, integer arithmetic (deterministic)
+            r, g, b = a[..., 0].astype(np.int32), a[..., 1], a[..., 2]
+            a = ((r * 299 + g.astype(np.int32) * 587 + b.astype(np.int32) * 114)
+                 // 1000).astype(np.uint8)
+        return a
     if meta["format"] != FAKE_FORMAT:
         raise NotImplementedError(
             f"no codec for {meta['format']!r} in this environment; "
@@ -93,7 +123,11 @@ def decode_image(payload: bytes, meta: dict) -> np.ndarray:
 
 
 def decode_audio(payload: bytes, meta: dict) -> np.ndarray:
-    """bytes → 1-D uint8 sample array (real impl: PCM decode)."""
+    """bytes → 1-D sample array (uint8 for 8-bit PCM/x-fake, int16 for
+    16-bit PCM). WAV decodes through the real stdlib ``wave`` codec."""
+    if meta["format"] == "wav":
+        samples, _rate = decode_wav(payload)
+        return samples
     if meta["format"] != FAKE_FORMAT:
         raise NotImplementedError(f"no codec for {meta['format']!r}")
     return np.frombuffer(payload, dtype=np.uint8)
@@ -151,7 +185,13 @@ def image_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
                 a = decode_image(payload, meta)
                 yi = (np.arange(height) * a.shape[0] // height)[:, None]
                 xi = (np.arange(width) * a.shape[1] // width)[None, :]
-                out_payload.append(a[yi, xi].tobytes())
+                resized = a[yi, xi]
+                # container-preserving: PNG in → PNG out (real re-encode),
+                # x-fake stays raw bytes
+                if meta["format"] == "png":
+                    out_payload.append(encode_png(resized))
+                else:
+                    out_payload.append(resized.tobytes())
                 m = dict(meta)
                 m["width"], m["height"] = width, height
                 out_meta.append(m)

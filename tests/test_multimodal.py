@@ -26,14 +26,28 @@ def test_media_schema_and_payload_sizes(media):
         "sample_rate:int,duration_ms:int>>"
     )
     pdf = media.limit(50).toPandas()
+    from ner_spark.codecs import decode_png, decode_wav
+
     for _, r in pdf.iterrows():
         expect = (
             r.meta["width"] * r.meta["height"]
             if r.kind == "image"
             else r.meta["duration_ms"]
         )
-        assert len(r.payload) == expect
+        fmt = r.meta["format"]
+        if fmt == M.FAKE_FORMAT:
+            assert len(r.payload) == expect
+        elif fmt == "png":  # real container: size checked after decode
+            assert decode_png(bytes(r.payload)).size == expect
+        else:
+            assert fmt == "wav"
+            samples, rate = decode_wav(bytes(r.payload))
+            assert samples.size == expect and rate == r.meta["sample_rate"]
         assert isinstance(r.payload, (bytes, bytearray))
+    # the corpus must actually exercise every container (non-vacuous)
+    assert set(pdf.meta.map(lambda m: m["format"])) == {
+        M.FAKE_FORMAT, "png", "wav",
+    }
 
 
 def test_decode_is_deterministic(media):
@@ -65,9 +79,15 @@ def test_resize_shape_and_batch_independence(spark, media):
     """Output is invariant to partitioning/batch boundaries."""
     r1 = M.image_resize(media).toPandas()
     r2 = M.image_resize(media.repartition(7)).toPandas()
+    from ner_spark.codecs import decode_png
+
     for df in (r1, r2):
         assert (df.meta.map(lambda m: (m["width"], m["height"])) == (32, 32)).all()
-        assert df.payload.map(len).eq(32 * 32).all()
+        for _, r in df.iterrows():
+            if r.meta["format"] == "png":  # container preserved end-to-end
+                assert decode_png(bytes(r.payload)).shape == (32, 32)
+            else:
+                assert len(r.payload) == 32 * 32
     a = r1.sort_values("doc_id").reset_index(drop=True)
     b = r2.sort_values("doc_id").reset_index(drop=True)
     assert (a.doc_id == b.doc_id).all()
