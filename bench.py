@@ -120,8 +120,10 @@ def run_kg(spark, size: str) -> dict:
     # number (same de-noising as --scaling / the per-query timings)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_KG_REPEAT", "2")))
     wall = None
+    stage_secs: dict[str, float] = {}
     for _ in range(reps):
         warehouse = tempfile.mkdtemp(prefix="kg_bench_")
+        this_stages: dict[str, float] = {}
         try:
             t0 = time.perf_counter()
             out = build_kg(
@@ -132,6 +134,7 @@ def run_kg(spark, size: str) -> dict:
                 warehouse=warehouse,
                 run_id="bench",
                 resume=False,
+                stage_secs=this_stages,
                 # explicit conv_id partitioning (north rule): measured
                 # FASTER than running the NLP map-side off the 32-file
                 # scan — 128 right-sized partitions balance the python
@@ -142,7 +145,9 @@ def run_kg(spark, size: str) -> dict:
             )
             n_triples = out["triples"].count()  # reads the materialized stage
             dt = time.perf_counter() - t0
-            wall = dt if wall is None else min(wall, dt)
+            if wall is None or dt < wall:
+                wall = dt
+                stage_secs = this_stages  # breakdown of the reported run
         finally:
             shutil.rmtree(warehouse, ignore_errors=True)
     return {
@@ -152,6 +157,223 @@ def run_kg(spark, size: str) -> dict:
         "sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
         "triples_per_sec": round(n_triples / wall, 1),
+        # per-stage wall (NLP/links/edges/CC/triples/entities) so a
+        # regression between rounds is attributable without a profiler
+        "stage_secs": stage_secs,
+    }
+
+
+def run_stream_kg(spark) -> dict:
+    """Streaming-ingest throughput (round-3 VERDICT item 9): the
+    distributed `transcript_gen` source rate-limited to fixed
+    conversation chunks per trigger, driven through the incremental KG
+    path (dropDuplicatesWithinWatermark → fused NLP+link mapInPandas) to
+    a noop sink. Reports rows/s plus per-batch state rows — event time
+    advances ~1 h per conversation, so the 1 h dedup watermark must keep
+    evicting; max_state_rows ≪ total rows is the bounded-state evidence.
+    """
+    import pandas as pd
+
+    from fixtures.gen import entity_catalog, entity_embeddings_df, gazetteer_df
+    from ner_spark.sources.transcript_stream import TranscriptStreamDataSource
+    from ner_spark.streaming import incremental as S
+    from pyspark.sql import functions as F
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_STREAM_CONVS", "40000"))
+    n_batches = 10
+    per_batch = max(1, n_convs // n_batches)
+    spark.dataSource.register(TranscriptStreamDataSource)
+    stream = (
+        spark.readStream.format("transcript_gen")
+        .option("distributed", "true")
+        .option("n_convs", str(n_convs))
+        .option("convs_per_batch", str(per_batch))  # fixed-rate cadence
+        .option("convs_per_partition", str(max(1, per_batch // CPUS)))
+        .load()
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    cat = entity_catalog(42)
+    links = S.streaming_links(stream, gazetteer_df(cat), entity_embeddings_df(cat), spark)
+    ckpt = tempfile.mkdtemp(prefix="stream_kg_ck_")
+    t0 = time.perf_counter()
+    q = (
+        links.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        seen: dict[int, dict] = {}
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            for p in q.recentProgress:
+                src = p["sources"][0]
+                end = src["endOffset"]
+                if isinstance(end, str):
+                    # python-datasource offsets serialize as dict repr,
+                    # not JSON — pull the single counter out by pattern
+                    m = re.search(r"\d+", end)
+                    end = {"conv": int(m.group())} if m else {}
+                state = p.get("stateOperators") or []
+                seen[p["batchId"]] = {
+                    "rows": p["numInputRows"],
+                    "end_conv": (end or {}).get("conv", 0),
+                    "state_rows": state[0]["numRowsTotal"] if state else 0,
+                    "batch_ms": p["durationMs"].get("triggerExecution", 0),
+                }
+            if q.exception() is not None:
+                raise q.exception()
+            if any(
+                b["rows"] == 0 and b["end_conv"] >= n_convs for b in seen.values()
+            ):
+                break  # feed exhausted AND the empty tail batch ran
+            time.sleep(0.5)
+        wall = time.perf_counter() - t0
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    data = [seen[k] for k in sorted(seen) if seen[k]["rows"] > 0]
+    total_rows = sum(b["rows"] for b in data)
+    # steady state excludes batch 0 (python-worker + broadcast warm-up:
+    # measured ~15s once vs ~3.5s steady) — the number that projects to a
+    # long-running ingest
+    steady = data[1:] or data
+    steady_rows = sum(b["rows"] for b in steady)
+    steady_sec = sum(b["batch_ms"] for b in steady) / 1000.0
+    return {
+        "convs": n_convs,
+        "rows": total_rows,
+        "batches": len(data),
+        "sec": round(wall, 3),
+        "rows_per_sec": round(total_rows / wall, 1),
+        "steady_rows_per_sec": round(steady_rows / steady_sec, 1)
+        if steady_sec else None,
+        # bounded-state evidence: watermark eviction keeps the dedup
+        # state near one batch's rows, never the whole feed
+        "max_state_rows": max((b["state_rows"] for b in data), default=0),
+        "final_state_rows": data[-1]["state_rows"] if data else 0,
+    }
+
+
+def run_skew(spark) -> dict:
+    """Planted-hot-entity skew bench (round-3 VERDICT item 8): ONE entity
+    carries ~10% of all mentions, and the link-score join (the B2 skew
+    hot spot) is forced onto its shuffle path (broadcast disabled for the
+    embedding side, as at catalog scale) — timed with AQE skew-join
+    splitting ON vs OFF on identical inputs. Thresholds are scaled to
+    fixture bytes (8 MB vs the 256 MB default) exactly like the plan-pin
+    test: at 100 TB the hot partition passes the default threshold
+    naturally; scaling it down makes the same split observable here.
+    Evidence of engagement is data-level: 'skew=true' must appear in the
+    final adaptive plan of the ON run."""
+    import pandas as pd  # noqa: F401
+
+    from fixtures.gen import (
+        entity_catalog,
+        entity_embeddings_df,
+        gazetteer_df,
+        transcripts_df,
+    )
+    from ner_spark.nlp.stage import detect_mentions
+    from ner_spark.operators.linking import gazetteer_norm, link_mentions
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_SKEW_CONVS", "100000"))
+    cat = entity_catalog(42)
+    hot_one = cat.index[cat.hot][0]
+    cat = cat.assign(hot=cat.index == hot_one)  # exactly one hot entity
+    d = tempfile.mkdtemp(prefix="skew_bench_")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # thresholds are COMPRESSED map-output bytes (what AQE reads from
+        # MapOutputStatistics): the near-duplicate hot rows lz4 ~15x, so
+        # the measured hot partition is ~8MB compressed at 100k convs vs
+        # ~2.5MB median — 2MB advisory makes the same split the 256MB
+        # default would make on a 100-TB hot partition
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        # untimed setup: generate + NLP once, materialize mentions (with
+        # ctx_emb) so both timed variants read identical bytes
+        pdf = transcripts_df(cat, seed=7, n_convs=n_convs, n_hot=0)
+        hot_name = cat.canonical_name[hot_one]
+        m = pdf.text.str.startswith(f"Everyone keeps asking about {hot_name}")
+        # (a) the generator's hot turns are byte-identical, so shuffle
+        # compression collapses the hot partition and AQE's byte-based
+        # skew detector sees nothing (found empirically: 11.5MB raw hot
+        # partition, no split at any threshold) — real hot-entity
+        # mentions are textually diverse, so diversify each hot turn
+        # with a unique suffix; (b) one extra copy of each hot turn
+        # lifts the plant from ~5% to ~10% of mentions
+        # ctx_emb is per SENTENCE — the variation must land inside the
+        # mention's sentence (before the final period), or every hot
+        # context still hashes to the same vector
+        suffix = " re ticket " + pdf.index.astype(str) + "."
+        pdf.loc[m, "text"] = pdf.loc[m, "text"].str[:-1] + suffix[m]
+        dup = pdf[m].assign(
+            conv_id=pdf.loc[m, "conv_id"] + "h",
+            text=pdf.loc[m, "text"].str.replace("ticket", "case"),
+        )
+        import pandas as pd
+
+        pdf = pd.concat([pdf, dup], ignore_index=True)
+        pdf.to_parquet(f"{d}/tx.parquet", index=False)
+        tx = spark.read.parquet(f"{d}/tx.parquet").repartition(
+            max(128, 4 * CPUS), "conv_id"
+        )
+        detect_mentions(tx, gazetteer_df(cat), spark).write.parquet(
+            f"{d}/mentions", mode="overwrite"
+        )
+        men = spark.read.parquet(f"{d}/mentions")
+        n_mentions = men.count()
+        gaz_n = gazetteer_norm(spark, gazetteer_df(cat))
+        emb = spark.createDataFrame(entity_embeddings_df(cat))
+        hot_share = None  # filled below from the ON run's candidate counts
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        walls: dict[str, float] = {}
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_SKEW_REPEAT", "2")))
+        for _ in range(reps):
+            for mode, enabled in (("skew_on", "true"), ("skew_off", "false")):
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+                links = link_mentions(men, gaz_n, emb)
+                t0 = time.perf_counter()
+                _force(links)
+                dt = time.perf_counter() - t0
+                walls[mode] = min(walls.get(mode, dt), dt)
+        # engagement evidence (untimed): a collected aggregate over the
+        # same plan exposes its OWN final adaptive plan, skew markers
+        # included (a noop write's execution is not reachable from the df)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        probe = link_mentions(men, gaz_n, emb).groupBy().count()
+        probe.collect()
+        plan_on = probe._jdf.queryExecution().executedPlan().toString()
+        # hot-mention share (the ~10% plant), measured not assumed:
+        # mentions whose candidate set contains the hot entity, over all
+        # mentions
+        from pyspark.sql import functions as F
+
+        hot_eid = cat.entity_id[hot_one]
+        cands = men.join(F.broadcast(gaz_n), ["norm_surface", "ner_type"])
+        hot_share = round(
+            cands.where(F.col("entity_id") == hot_eid).count() / n_mentions, 3
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "convs": n_convs,
+        "mentions": n_mentions,
+        "hot_mention_share": hot_share,
+        "skew_on_sec": round(walls["skew_on"], 3),
+        "skew_off_sec": round(walls["skew_off"], 3),
+        "speedup": round(walls["skew_off"] / walls["skew_on"], 3),
+        "split_engaged": bool(plan_on and "skew=true" in plan_on),
     }
 
 
@@ -186,6 +408,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--stream-kg-only", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="planted-hot-entity AQE skew-join A/B; appends "
+                         "the numbers to BENCH/BASELINE.md")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -208,9 +434,44 @@ def main() -> None:
     spark = get_spark(master=a.master, app="ner-spark-bench", extra=kg_extra)
     timings: dict[str, float] = {}
 
+    if a.stream_kg_only:
+        print(json.dumps({"stream_kg": run_stream_kg(spark)}))
+        spark.stop()
+        return
+
+    if a.skew:
+        sk = run_skew(spark)
+        md = os.path.join(_ROOT, "BENCH", "BASELINE.md")
+        os.makedirs(os.path.dirname(md), exist_ok=True)
+        with open(md, "a") as f:
+            f.write(
+                "\n## Skew-join A/B ({}) — one entity at {:.0%} of "
+                "mentions, {} mentions\n\n"
+                "| AQE skew split | wall (s) |\n| --- | --- |\n"
+                "| on (split engaged: {}) | {} |\n| off | {} |\n\n"
+                "Speedup from the runtime split: **{}x** (thresholds "
+                "scaled to fixture bytes; at 100 TB the hot partition "
+                "passes the 256 MB default naturally).\n".format(
+                    time.strftime("%Y-%m-%d %H:%M:%S"),
+                    sk["hot_mention_share"], sk["mentions"],
+                    sk["split_engaged"], sk["skew_on_sec"],
+                    sk["skew_off_sec"], sk["speedup"],
+                )
+            )
+        print(json.dumps({"skew": sk}))
+        spark.stop()
+        return
+
     t_all = time.perf_counter()
     kg = run_kg(spark, _kg_size(sf))
     timings["kg_pipeline"] = kg["sec"]
+
+    skg = None
+    if not a.kg_only:
+        # streaming ingest throughput: same python-heavy session as the
+        # KG build (pandas-UDF NLP inside the micro-batches)
+        skg = run_stream_kg(spark)
+        timings["stream_kg"] = skg["sec"]
 
     restart_sec = 0.0
     if not a.kg_only and kg_extra:
@@ -259,6 +520,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "kg": kg,
+        "stream_kg": skg,
         "curation": cur,
         "restart_sec": restart_sec,
         "master": a.master or f"local[{CPUS}]",

@@ -82,6 +82,10 @@ class StagedPipeline:
         self.run_id = run_id
         self.resume = resume
         self.lineage: list[pd.DataFrame] = []
+        # wall seconds per stage (build+commit+readback; resume hits cost
+        # only the readback) — bench.py surfaces this per-stage breakdown
+        # so a throughput regression is attributable without a profiler
+        self.stage_secs: dict[str, float] = {}
         self._lineage_threads: list[threading.Thread] = []
         self._lineage_errors: list[tuple[str, BaseException]] = []
         self._lineage_lock = threading.Lock()
@@ -90,12 +94,16 @@ class StagedPipeline:
     def _stage(self, name: str, build, partition_by=None) -> DataFrame:
         if not self.warehouse:
             return build()
+        t0 = time.perf_counter()
         path = os.path.join(self.warehouse, name)
         if self.resume and nio.table_complete(path, self.run_id, spark=self.spark):
-            return nio.read_table(self.spark, path)
+            out = nio.read_table(self.spark, path)
+            self.stage_secs[name] = round(time.perf_counter() - t0, 3)
+            return out
         df = build()
         nio.write_table(df, path, partition_by=partition_by, run_id=self.run_id)
         out = nio.read_table(self.spark, path)
+        self.stage_secs[name] = round(time.perf_counter() - t0, 3)
         # lineage is an audit artifact, not a dataflow dependency: compute
         # it on a side thread (Spark schedules the jobs concurrently) so
         # the next stage starts immediately; each thread flushes on

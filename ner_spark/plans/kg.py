@@ -131,8 +131,13 @@ def build_kg(
     run_id: str = "r0",
     resume: bool = True,
     n_partitions: int | None = None,
+    stage_secs: dict | None = None,
 ) -> dict[str, DataFrame]:
-    return KGPipeline(
+    p = KGPipeline(
         spark, gazetteer_pdf, entity_embeddings, warehouse, run_id, resume,
         n_partitions,
-    ).run(transcripts)
+    )
+    out = p.run(transcripts)
+    if stage_secs is not None:  # per-stage wall breakdown (bench.py)
+        stage_secs.update(p.stage_secs)
+    return out

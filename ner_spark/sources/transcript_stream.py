@@ -101,11 +101,24 @@ try:  # pyspark >= 4 only; import-gated like ConllDataSource
             self.n_convs = int(options.get("n_convs", "24"))
             self.per_part = int(options.get("convs_per_partition", "8"))
             self.seed = int(options.get("seed", "42"))
+            # rate mode (bench cadence knob): advertise only
+            # convs_per_batch new conversations per trigger instead of
+            # constant full availability. The high-water mark lives on
+            # this driver-side reader instance, so rate mode is for
+            # FRESH-CHECKPOINT bounded runs only (bench.py --stream-kg):
+            # after a restart the mark restarts at zero and earlier
+            # conversations would be re-advertised. The restart-safe
+            # default (0 = full availability) is unchanged.
+            self.per_batch = int(options.get("convs_per_batch", "0"))
+            self._hwm = 0
 
         def initialOffset(self) -> dict:
             return {"conv": 0}
 
         def latestOffset(self) -> dict:
+            if self.per_batch:
+                self._hwm = min(self.n_convs, self._hwm + self.per_batch)
+                return {"conv": self._hwm}
             # constant full availability (see module docstring): the one
             # batch still fans out over len(partitions()) executor tasks
             return {"conv": self.n_convs}
@@ -125,7 +138,8 @@ try:  # pyspark >= 4 only; import-gated like ConllDataSource
             )
 
         def commit(self, end: dict) -> None:
-            pass  # generated feed — nothing to clean up
+            # rate mode: never advertise below what the engine committed
+            self._hwm = max(self._hwm, end.get("conv", 0))
 
     class _TranscriptStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
