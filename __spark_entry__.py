@@ -8,8 +8,10 @@
   the training-data ops (dedup / similarity / text analysis), over
   /root/testdata parquet tables.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
-  KG/streaming entries are rows-only (checked against the single-process
-  oracle in pytest instead).
+  the deterministic KG/streaming/multimodal entries carry golden-snapshot
+  oracles instead (committed parquet pinned against the single-process
+  oracle by tools/make_goldens.py; ner_spark/goldens.py). Only the
+  approximate-sketch entry stays rows-only.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ import ner_spark.queries_text  # noqa: F401
 import ner_spark.queries_kg  # noqa: F401
 import ner_spark.queries_graph  # noqa: F401
 import ner_spark.queries_multimodal  # noqa: F401
+import ner_spark.goldens  # noqa: F401  (golden-snapshot oracles, after all registers)
 from ner_spark.registry import ORACLE_SQL, QUERIES
 
 
