@@ -205,6 +205,7 @@ def run_stream_kg(spark) -> dict:
     try:
         seen: dict[int, dict] = {}
         deadline = time.time() + 900
+        wall = None
         while time.time() < deadline:
             for p in q.recentProgress:
                 src = p["sources"][0]
@@ -229,9 +230,13 @@ def run_stream_kg(spark) -> dict:
                 break  # feed exhausted AND the empty tail batch ran
             time.sleep(0.5)
         wall = time.perf_counter() - t0
-        q.stop()
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        # stop BEFORE deleting the checkpoint — raising q.exception()
+        # above must not leak a running query whose checkpoint vanishes
+        try:
+            q.stop()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     data = [seen[k] for k in sorted(seen) if seen[k]["rows"] > 0]
     total_rows = sum(b["rows"] for b in data)
     # steady state excludes batch 0 (python-worker + broadcast warm-up:

@@ -43,6 +43,11 @@ def srp_signs(n_bits: int, dim: int) -> list[list[float]]:
 def hamming_masks(n_bits: int, radius: int) -> list[int]:
     """XOR masks enumerating all buckets within Hamming distance
     ``radius`` of a base bucket (mask 0 = the bucket itself)."""
+    if radius > 3:
+        raise ValueError(
+            f"hamming_masks implements radius <= 3, got {radius} — "
+            "add the combination tier rather than silently under-probing"
+        )
     masks = [0]
     if radius >= 1:
         masks += [1 << i for i in range(n_bits)]

@@ -54,7 +54,12 @@ GOLDEN_FIXED = [
 # sf-DEPENDENT entries (they scan the sf documents table): one snapshot
 # per testdata scale, selected at query time by the corpus fingerprint
 # SUM(n_chars) — the oracle SQL cannot see the sf_dir, but it can see the
-# pre-registered `documents` view
+# pre-registered `documents` view. CONSTRAINT: these oracles only hold
+# for the three pinned testdata dirs below; against any other corpus
+# every branch's fingerprint predicate is false and the oracle returns 0
+# rows (the sweep flags it as a vacuous empty rather than passing). If
+# the testdata regenerates, tests/test_goldens.py catches the stale
+# fingerprints — rerun tools/make_goldens.py.
 GOLDEN_PER_SF = [
     "dedup_minhash_fast",
     "mm_image_features",
@@ -81,10 +86,10 @@ def register_goldens() -> list[str]:
     for name in GOLDEN_FIXED:
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         if os.path.exists(path):
-            ORACLE_SQL.setdefault(
-                name, f"SELECT * FROM read_parquet('{path}')"
-            )
-            attached.append(name)
+            sql = f"SELECT * FROM read_parquet('{path}')"
+            ORACLE_SQL.setdefault(name, sql)
+            if ORACLE_SQL[name] == sql:  # only count a real attach —
+                attached.append(name)  # a pre-existing oracle wins
     keys_path = os.path.join(GOLDEN_DIR, "sf_keys.json")
     if os.path.exists(keys_path):
         with open(keys_path) as f:
@@ -99,8 +104,10 @@ def register_goldens() -> list[str]:
                         f"(SELECT SUM(n_chars) FROM documents) = {key}"
                     )
             if parts:
-                ORACLE_SQL.setdefault(name, "\nUNION ALL\n".join(parts))
-                attached.append(name)
+                sql = "\nUNION ALL\n".join(parts)
+                ORACLE_SQL.setdefault(name, sql)
+                if ORACLE_SQL[name] == sql:
+                    attached.append(name)
     return attached
 
 

@@ -67,14 +67,38 @@ def mm_image_features(spark, sf):
 
 @register("mm_image_resize")
 def mm_image_resize(spark, sf):
-    """Binary-in/binary-out resize; returns shape metadata + payload size
-    (the driver hashes rows, binary payload column dropped for stability)."""
+    """Binary-in/binary-out resize; returns shape metadata + DECODED
+    pixel stats. Decoding the output payload (rather than reporting its
+    byte length) both proves the re-encoded container round-trips and
+    keeps the golden snapshot independent of the local zlib build —
+    compressed PNG sizes differ between zlib implementations at the same
+    level, decoded pixels never do."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ner_spark.multimodal import decode_image
+
     r = image_resize(_media(spark, sf))
-    return r.select(
-        "doc_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.length("payload").alias("payload_bytes"),
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf.doc_id, pdf.payload, pdf.meta):
+                a = decode_image(bytes(payload), meta)
+                rows.append(
+                    (doc_id, meta["width"], meta["height"],
+                     int(a.sum()), int(a.size))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "pixel_sum", "n_pixels"],
+            )
+
+    return r.mapInPandas(
+        fn,
+        "doc_id bigint, width int, height int, pixel_sum bigint, "
+        "n_pixels bigint",
     )
 
 

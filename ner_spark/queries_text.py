@@ -585,12 +585,19 @@ def dedup_simhash(spark, sf):
     )
 
 
+# blocking-bucket width for the registered dedup_embedding_cosine — the
+# ONE constant both the Spark default and the frozen oracle SQL derive
+# from (calling the function with a different n_bits is Spark-only: the
+# registered oracle is generated at this default)
+_DEDUP_SRP_BITS = 4
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (
       SELECT vec_id, embedding,
-             {srp_bucket_sql('embedding', 4, 64)} AS bucket,
+             {srp_bucket_sql('embedding', _DEDUP_SRP_BITS, 64)} AS bucket,
              SQRT(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings WHERE vec_id % 5 = 0)
@@ -605,7 +612,7 @@ def dedup_simhash(spark, sf):
           / (a.nrm * b.nrm) > 0.3
     """,
 )
-def dedup_embedding_cosine(spark, sf, n_bits: int = 4):
+def dedup_embedding_cosine(spark, sf, n_bits: int = _DEDUP_SRP_BITS):
     """Embedding near-dup: sign-random-projection blocking (the SRP
     primitive shared with ann_lsh_bucketed), cosine > 0.3 within block;
     sampled 1-in-5 to bound the pair count.
@@ -617,7 +624,10 @@ def dedup_embedding_cosine(spark, sf, n_bits: int = 4):
     join was O(block^2) with a FIXED handful of blocks — quadratic at
     100 TB (round-2 VERDICT item 3). n_bits=4 keeps the sf0.01 result
     non-empty (7 pairs) so the gate stays non-vacuous; threshold 0.3
-    because the synthetic corpus' near-dup cosine tops out at ~0.41."""
+    because the synthetic corpus' near-dup cosine tops out at ~0.41.
+    NOTE: the registered oracle SQL is generated at _DEDUP_SRP_BITS —
+    calling with a different n_bits is a Spark-only configuration (same
+    for ann_lsh_bucketed's n_bits/radius vs _LSH_N_BITS/_LSH_RADIUS)."""
     e = t(spark, sf, "embeddings").where(F.col("vec_id") % 5 == 0)
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),

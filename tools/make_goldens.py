@@ -249,6 +249,9 @@ def main() -> None:
 
         # media stats recomputed from the raw deterministic payload stream
         feats = per_sf_outs[("mm_image_features", tag)].set_index("doc_id")
+        meta_wh = {}
+        for doc_id, row in feats.iterrows():
+            meta_wh[doc_id] = (int(row.width), int(row.height))
         for doc_id, row in list(feats.iterrows())[:20]:
             n = int(row.width) * int(row.height)
             raw = np.random.default_rng(int(doc_id)).integers(
@@ -256,6 +259,18 @@ def main() -> None:
             )
             assert abs(float(raw.mean()) - row.mean_intensity) < 1e-9, doc_id
             assert abs(float(raw.std()) - row.std_intensity) < 1e-9, doc_id
+        # resize: decoded pixel sums must equal an independent
+        # nearest-neighbor resample of the raw payload (zlib-free check)
+        rs = per_sf_outs[("mm_image_resize", tag)].set_index("doc_id")
+        for doc_id, row in list(rs.iterrows())[:20]:
+            w0, h0 = meta_wh[doc_id]
+            raw = np.random.default_rng(int(doc_id)).integers(
+                0, 256, w0 * h0, dtype=np.uint8
+            ).reshape(h0, w0)
+            yi = (np.arange(int(row.height)) * h0 // int(row.height))[:, None]
+            xi = (np.arange(int(row.width)) * w0 // int(row.width))[None, :]
+            assert int(raw[yi, xi].sum()) == row.pixel_sum, doc_id
+            assert int(row.n_pixels) == int(row.width) * int(row.height)
         print(f"  parity ok: {tag} minhash truth ({len(truth)} pairs) + mm stats")
 
     # --- snapshot -------------------------------------------------------

@@ -65,4 +65,6 @@ print(
     f"empty-result (vacuous pass): {empties or 'none'}"
 )
 spark.stop()
-sys.exit(1 if failures else 0)
+# an empty result is a vacuous pass — a gate-integrity failure, not a
+# soft warning (run_gates.sh records "0 vacuous empties" off this code)
+sys.exit(1 if failures or empties else 0)
