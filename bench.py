@@ -183,6 +183,13 @@ def run_stream_kg(spark) -> dict:
     n_batches = 10
     per_batch = max(1, n_convs // n_batches)
     spark.dataSource.register(TranscriptStreamDataSource)
+    # one task wave per micro-batch: with task.cpus=2 the session has
+    # CPUS/2 slots, and 32 state partitions would run as two waves —
+    # measured 11.0k -> 13.7k rows/s steady going 32 -> 16 partitions
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(8, CPUS // 2))
+    )
     stream = (
         spark.readStream.format("transcript_gen")
         .option("distributed", "true")
@@ -236,6 +243,7 @@ def run_stream_kg(spark) -> dict:
         try:
             q.stop()
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
             shutil.rmtree(ckpt, ignore_errors=True)
     data = [seen[k] for k in sorted(seen) if seen[k]["rows"] > 0]
     total_rows = sum(b["rows"] for b in data)
