@@ -765,9 +765,11 @@ _IVF_CTES = """params AS (
         FROM ivf_scored) WHERE rn <= 3)"""
 
 
-def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
-    """Trained-IVF ANN (Spark side of _IVF_CTES; see its comment for the
-    lockstep quantizations). Returns (query_id, neighbor_id, cos_sim).
+def _ivf_parts(spark, sf, iters=2):
+    """Train the IVF codebook and assign every vector to its cell —
+    returns (assigned, cents, e) where assigned carries (vec_id, cid,
+    embedding, nrm). Shared by _ivf_topk (in-plan probe) and
+    ann_ivf_bucketed_probe (persisted bucketed-index probe).
 
     Scale shape: every Lloyd assignment and the final cell assignment are
     the proven kmeans_lloyd plan — centroids broadcast (~sqrt(N) rows),
@@ -844,11 +846,28 @@ def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
         "vec_id", "embedding", F.sqrt(dot_self).alias("nrm")
     )
     assigned = assign(e, cents).join(ev, "vec_id")
+    return assigned, cents, ev
 
-    # queries probe their nprobe nearest cells: the ranking window runs
-    # over the BOUNDED query sample x k centroids, never over N
+
+def _ivf_qprobe(spark, sf, cents, ev, n_queries=20, nprobe=2):
+    """Per-query probe cells: each query ranks the broadcast codebook by
+    squared-L2 (ROUND(d,9), cid tiebreak) and keeps its nprobe nearest —
+    the ranking window runs over the BOUNDED query sample x k centroids,
+    never over N. Returns (query_id, cid, embedding, nrm)."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def l2(cemb_col):
+        return F.aggregate(
+            F.zip_with("emb", cemb_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
     wq = W.partitionBy("query_id").orderBy(F.round("d", 9), "cid")
-    qprobe = (
+    return (
         e.where(F.col("vec_id") < n_queries)
         .withColumnRenamed("vec_id", "query_id")
         .crossJoin(F.broadcast(cents))
@@ -857,6 +876,11 @@ def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
         .where(F.col("prn") <= nprobe)
         .join(ev.withColumnRenamed("vec_id", "query_id"), "query_id")
     )
+
+
+def _ivf_score_topk(qprobe, index, k_neighbors=3):
+    """Cosine top-k within the probed cells (shared by the in-plan and
+    the bucketed-index probes, so scoring semantics cannot diverge)."""
     dot = F.aggregate(
         F.zip_with(
             F.col("q.embedding"), F.col("e.embedding"),
@@ -868,7 +892,7 @@ def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
     scored = (
         qprobe.alias("q")
         .join(
-            assigned.alias("e"),
+            index.alias("e"),
             (F.col("q.cid") == F.col("e.cid"))
             & (F.col("q.query_id") != F.col("e.vec_id")),
         )
@@ -884,6 +908,14 @@ def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
         .where(F.col("rn") <= k_neighbors)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
+    """Trained-IVF ANN, in-plan probe (Spark side of _IVF_CTES).
+    Returns (query_id, neighbor_id, cos_sim)."""
+    assigned, cents, ev = _ivf_parts(spark, sf, iters=iters)
+    qprobe = _ivf_qprobe(spark, sf, cents, ev, n_queries, nprobe)
+    return _ivf_score_topk(qprobe, assigned, k_neighbors)
 
 
 @register(
@@ -904,6 +936,65 @@ def ann_ivf_topk(spark, sf):
     sf0.1 vs 0.267 for the round-2 fixed-bucket path, at ~1/3 the
     candidate pairs. See _ivf_topk for the physical-plan story."""
     return _ivf_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+# session-scoped registry of persisted bucketed IVF indexes
+_IVF_INDEX: dict[str, str] = {}
+
+
+def _ensure_ivf_index(spark, sf):
+    """Materialize the trained-IVF assignment as a table BUCKETED BY cid
+    (one file per bucket, sorted within) — the persisted inverted-list
+    layout a cluster keeps so probes never shuffle the index. Returns
+    (table_name, cents, ev); built once per (session, sf)."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_")
+    key = f"{tag}@{id(spark)}"
+    assigned, cents, ev = _ivf_parts(spark, sf)
+    if key not in _IVF_INDEX:
+        name = f"ivf_index_{tag}"
+        base = tempfile.mkdtemp(prefix="ner_spark_ivf_")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            assigned.repartition(8, F.col("cid"))
+            .write.bucketBy(8, "cid")
+            .sortBy("cid")
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        _IVF_INDEX[key] = name
+    return _IVF_INDEX[key], cents, ev
+
+
+@register(
+    "ann_ivf_bucketed_probe",
+    f"""
+    WITH {_IVF_CTES}
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim FROM ivf_topk
+    """,
+)
+def ann_ivf_bucketed_probe(spark, sf):
+    """Trained-IVF probe against the PERSISTED index: the cell
+    assignment is written once as a table bucketed by cid (inverted
+    lists = bucket files), and each query batch reads ONLY the buckets
+    its probe cells hash to — `cid.isin(probe_cells)` drives Spark's
+    bucket pruning (SelectedBucketsCount in the scan), the bounded query
+    side broadcasts, and the index side flows scan→join with NO exchange
+    (both pinned in tests/test_plan_shapes.py). Collecting the probe
+    cells to the driver is O(n_queries x nprobe) — 40 values here — the
+    standard "plan the probe, then prune the scan" ANN serving shape.
+    Same semantics and same oracle as ann_ivf_topk: only the physical
+    layout differs, which is exactly what the differential checks."""
+    name, cents, ev = _ensure_ivf_index(spark, sf)
+    qprobe = _ivf_qprobe(spark, sf, cents, ev)
+    cells = [r["cid"] for r in qprobe.select("cid").distinct().collect()]
+    index = spark.table(name).where(F.col("cid").isin(cells))
+    return _ivf_score_topk(F.broadcast(qprobe), index).select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
     )
 

@@ -72,6 +72,29 @@ def test_ivf_training_updates_are_partial_aggregates(spark):
     assert "windowspecdefinition(vec_id" not in plan
 
 
+def test_ivf_bucketed_probe_prunes_buckets_no_index_exchange(spark):
+    """The persisted-index probe (round-3): the cid.isin(probe cells)
+    filter must engage BUCKET PRUNING on the bucketed index scan, the
+    bounded query side must broadcast, and the index side must flow
+    scan→join with no Exchange — the layout that makes ANN serving
+    shuffle-free at 100 TB."""
+    plan = _plan(spark, "ann_ivf_bucketed_probe")
+    lines = plan.splitlines()
+    scan_i = next(
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "ivf_index" in l
+    )
+    scan = lines[scan_i]
+    assert "Bucketed: true" in scan, scan
+    assert "SelectedBucketsCount" in scan, scan
+    # the index scan's direct parent is the probe-cell INSET filter —
+    # scan feeds the join with nothing in between (in particular no
+    # Exchange; the only cid exchanges in the plan are the k-sized Lloyd
+    # TRAINING aggregations inside the codebook, which is fine)
+    assert "INSET" in lines[scan_i - 1], lines[scan_i - 1]
+    assert "BroadcastExchange" in plan  # bounded query side broadcasts
+
+
 def test_lsh_candidate_join_is_bucket_equi_join(spark):
     """Multi-probe SRP-LSH (round-3 item 2): the candidate join keys on
     the bucket id (hash-partitionable equi-join); the multi-probe explode
