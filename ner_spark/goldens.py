@@ -53,8 +53,11 @@ GOLDEN_FIXED = [
 
 # sf-DEPENDENT entries (they scan the sf documents table): one snapshot
 # per testdata scale, selected at query time by the corpus fingerprint
-# SUM(n_chars) — the oracle SQL cannot see the sf_dir, but it can see the
-# pre-registered `documents` view. CONSTRAINT: these oracles only hold
+# (COUNT(*), SUM(doc_id * n_chars)) — content-weighted so a regenerated
+# corpus with the same total characters cannot silently select the wrong
+# snapshot (ADVICE r03 item 3); the oracle SQL cannot see the sf_dir, but
+# it can see the pre-registered `documents` view. CONSTRAINT: these
+# oracles only hold
 # for the three pinned testdata dirs below; against any other corpus
 # every branch's fingerprint predicate is false and the oracle returns 0
 # rows (the sweep flags it as a vacuous empty rather than passing). If
@@ -93,15 +96,17 @@ def register_goldens() -> list[str]:
     keys_path = os.path.join(GOLDEN_DIR, "sf_keys.json")
     if os.path.exists(keys_path):
         with open(keys_path) as f:
-            sf_keys = json.load(f)  # {tag: sum_n_chars}
+            sf_keys = json.load(f)  # {tag: [n_rows, sum_doc_id_x_n_chars]}
         for name in GOLDEN_PER_SF:
             parts = []
-            for tag, key in sf_keys.items():
+            for tag, (n_rows, wsum) in sf_keys.items():
                 path = os.path.join(GOLDEN_DIR, f"{name}.{tag}.parquet")
                 if os.path.exists(path):
                     parts.append(
                         f"SELECT * FROM read_parquet('{path}') WHERE "
-                        f"(SELECT SUM(n_chars) FROM documents) = {key}"
+                        f"(SELECT COUNT(*) FROM documents) = {n_rows} AND "
+                        f"(SELECT SUM(doc_id * n_chars) FROM documents)"
+                        f" = {wsum}"
                     )
             if parts:
                 sql = "\nUNION ALL\n".join(parts)

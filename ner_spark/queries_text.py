@@ -11,6 +11,8 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -600,7 +602,7 @@ _DEDUP_SRP_BITS = 4
              {srp_bucket_sql('embedding', _DEDUP_SRP_BITS, 64)} AS bucket,
              SQRT(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings WHERE vec_id % 5 = 0)
+      FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(a.embedding[i] AS DOUBLE) *
@@ -612,23 +614,29 @@ _DEDUP_SRP_BITS = 4
           / (a.nrm * b.nrm) > 0.3
     """,
 )
-def dedup_embedding_cosine(spark, sf, n_bits: int = _DEDUP_SRP_BITS):
+def dedup_embedding_cosine(
+    spark, sf, n_bits: int = _DEDUP_SRP_BITS, sample_mod: int | None = None
+):
     """Embedding near-dup: sign-random-projection blocking (the SRP
-    primitive shared with ann_lsh_bucketed), cosine > 0.3 within block;
-    sampled 1-in-5 to bound the pair count.
+    primitive shared with ann_lsh_bucketed), cosine > 0.3 within block.
+    FULL-corpus by default (round-4: VERDICT r03 item 5) — the SRP
+    blocking exists precisely so no pre-sample is needed; pass
+    sample_mod to thin the input explicitly (Spark-only knob: the
+    registered oracle is generated at the full-corpus default).
 
     Scale shape: the candidate join is an EQUI-join on the SRP bucket —
     a hash-partitionable key whose cardinality (2**n_bits) is a function
     argument, so expected block size N / 2**n_bits is tunable with log N.
     The round-2 version blocked on `label`, whose per-block all-pairs
     join was O(block^2) with a FIXED handful of blocks — quadratic at
-    100 TB (round-2 VERDICT item 3). n_bits=4 keeps the sf0.01 result
-    non-empty (7 pairs) so the gate stays non-vacuous; threshold 0.3
-    because the synthetic corpus' near-dup cosine tops out at ~0.41.
+    100 TB (round-2 VERDICT item 3). Threshold 0.3 because the synthetic
+    corpus' near-dup cosine tops out at ~0.41.
     NOTE: the registered oracle SQL is generated at _DEDUP_SRP_BITS —
     calling with a different n_bits is a Spark-only configuration (same
     for ann_lsh_bucketed's n_bits/radius vs _LSH_N_BITS/_LSH_RADIUS)."""
-    e = t(spark, sf, "embeddings").where(F.col("vec_id") % 5 == 0)
+    e = t(spark, sf, "embeddings")
+    if sample_mod:
+        e = e.where(F.col("vec_id") % sample_mod == 0)
     dot_self = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -708,16 +716,21 @@ def ann_topk_bruteforce(spark, sf):
 # quantized (ROUND(d,9) argmin + lowest-cid tiebreak; ROUND(mean,6)
 # centroid coordinates) so Spark and DuckDB train the SAME codebook.
 _IVF_CTES = """params AS (
-      SELECT GREATEST(1, CAST(FLOOR(COUNT(*) /
-             GREATEST(4, FLOOR(SQRT(COUNT(*))))) AS BIGINT)) AS stride
-      FROM embeddings),
+      SELECT GREATEST(1, CAST(FLOOR(cnt / k) AS BIGINT)) AS stride,
+             GREATEST(2, CAST(FLOOR(cnt / LEAST(
+                 CAST(FLOOR(cnt / 2) AS BIGINT), 200 * k)) AS BIGINT))
+               AS sample_mod
+      FROM (SELECT COUNT(*) AS cnt,
+                   GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+            FROM embeddings)),
     e_long AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings),
     c0 AS (SELECT vec_id AS cid, dim, val FROM e_long
            WHERE vec_id % (SELECT stride FROM params) = 0),
-    s_long AS (SELECT * FROM e_long WHERE vec_id % 2 = 0),
+    s_long AS (SELECT * FROM e_long
+               WHERE vec_id % (SELECT sample_mod FROM params) = 0),
     d1 AS (SELECT e.vec_id, c.cid,
                   SUM((e.val - c.val) * (e.val - c.val)) AS d
            FROM s_long e JOIN c0 c ON e.dim = c.dim GROUP BY 1, 2),
@@ -765,6 +778,47 @@ _IVF_CTES = """params AS (
         FROM ivf_scored) WHERE rn <= 3)"""
 
 
+def _emb_l2(cemb_col):
+    """Squared-L2 between the `emb` column and a centroid column, as a
+    zip_with fold that stays inside whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with("emb", cemb_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _assign_cells(src, cents):
+    """Nearest-centroid assignment: broadcast the codebook, squared-L2 in
+    codegen, min_by(struct) hash aggregate (PARTIAL combine collapses
+    N x k candidates map-side — never a window over the cross product).
+    src carries (vec_id, emb); cents carries (cid, cemb)."""
+    return (
+        src.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _emb_l2(F.col("cemb")).alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "d"),
+                F.struct(F.round("d", 9).alias("rd"), F.col("cid")),
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+def _emb_norm(spark, sf):
+    """(vec_id, embedding, nrm) scan — the L2 norm every cosine shares."""
+    dot_self = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", F.sqrt(dot_self).alias("nrm")
+    )
+
+
 def _ivf_parts(spark, sf, iters=2):
     """Train the IVF codebook and assign every vector to its cell —
     returns (assigned, cents, e) where assigned carries (vec_id, cid,
@@ -780,7 +834,16 @@ def _ivf_parts(spark, sf, iters=2):
     one (cid, dim) shuffle of N x d skinny rows per iteration, k-free.
     The probe join is an equi-join on cell id (inverted lists = shuffle
     partitions; a cluster persists the index bucketed by cid). The only
-    windows partition by query_id — the bounded query sample."""
+    windows partition by query_id — the bounded query sample.
+
+    Training cost is BOUNDED (round-4: VERDICT r03 item 1): the Lloyd
+    sample keeps min(N/2, 200*k) vectors via a deterministic modulus on
+    vec_id, so each iteration evaluates O(sample * k) = O(200 * k^2) =
+    O(200 * N) candidate distances — linear in the corpus, instead of
+    the old half-sample's O(N/2 * sqrt(N)) superlinear blowup (at 10^9
+    vectors that was ~1.6e13 candidate rows per pass). At the fixture
+    scales (N <= 2000, 200*k > N/2) the modulus stays 2, so trained
+    codebooks and recall are bit-identical to round 3."""
     import math
 
     e = t(spark, sf, "embeddings").select(
@@ -790,28 +853,10 @@ def _ivf_parts(spark, sf, iters=2):
     n = e.count()  # metadata-cheap driver scalar; sizes the codebook
     k = max(4, math.isqrt(n))
     stride = max(1, n // k)
-    sample = e.where(F.col("vec_id") % 2 == 0)
+    sample_mod = max(2, n // min(n // 2, 200 * k))
+    sample = e.where(F.col("vec_id") % sample_mod == 0)
 
-    def l2(cemb_col):
-        return F.aggregate(
-            F.zip_with("emb", cemb_col, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-
-    def assign(src, cents):
-        return (
-            src.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", l2(F.col("cemb")).alias("d"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "d"),
-                    F.struct(F.round("d", 9).alias("rd"), F.col("cid")),
-                ).alias("m")
-            )
-            .select("vec_id", F.col("m.cid").alias("cid"))
-        )
+    assign = _assign_cells
 
     def update(assignment):
         long = (
@@ -837,14 +882,7 @@ def _ivf_parts(spark, sf, iters=2):
     for _ in range(iters):
         cents = update(assign(sample, cents))
 
-    dot_self = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ev = t(spark, sf, "embeddings").select(
-        "vec_id", "embedding", F.sqrt(dot_self).alias("nrm")
-    )
+    ev = _emb_norm(spark, sf)
     assigned = assign(e, cents).join(ev, "vec_id")
     return assigned, cents, ev
 
@@ -940,35 +978,71 @@ def ann_ivf_topk(spark, sf):
     )
 
 
-# session-scoped registry of persisted bucketed IVF indexes
-_IVF_INDEX: dict[str, str] = {}
+# session-scoped registry of persisted bucketed IVF indexes, keyed by
+# (sf tag, applicationId) — id(spark) is reusable after GC and a shared
+# table name raced DROP/overwrite across sessions (ADVICE r03 items 1-2).
+# Value = (table_name, collected centroid rows) so the serving path never
+# re-runs Lloyd training: probes rebuild the codebook from k x d literals.
+_IVF_INDEX: dict[str, tuple[str, list]] = {}
+_IVF_DIRS: list[str] = []
+_CENTS_SCHEMA = "cid bigint, cemb array<double>"
+
+
+def _cleanup_ivf_dirs() -> None:
+    import shutil
+
+    while _IVF_DIRS:
+        shutil.rmtree(_IVF_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_ivf_dirs)
 
 
 def _ensure_ivf_index(spark, sf):
     """Materialize the trained-IVF assignment as a table BUCKETED BY cid
     (one file per bucket, sorted within) — the persisted inverted-list
-    layout a cluster keeps so probes never shuffle the index. Returns
-    (table_name, cents, ev); built once per (session, sf)."""
+    layout a cluster keeps so probes never shuffle the index. Bucket
+    count scales with the codebook (max(8, k // 4), so ~4 inverted lists
+    per bucket file at any corpus size — round-4: VERDICT r03 item 3's
+    fix for the fixture-constant 8). Returns (table_name, cents, ev);
+    training runs ONCE per (session, sf): the first call collects the
+    k x d trained codebook (tiny — sqrt(N) rows) and both the index
+    write and every later probe reuse it as literals."""
     import re
     import tempfile
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_")
-    key = f"{tag}@{id(spark)}"
-    assigned, cents, ev = _ivf_parts(spark, sf)
+    app = spark.sparkContext.applicationId
+    key = f"{tag}@{app}"
     if key not in _IVF_INDEX:
-        name = f"ivf_index_{tag}"
+        _, cents, ev = _ivf_parts(spark, sf)
+        cent_rows = [
+            (int(r["cid"]), [float(x) for x in r["cemb"]])
+            for r in cents.collect()  # the one training job
+        ]
+        cents_lit = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+        e = t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        assigned = _assign_cells(e, cents_lit).join(ev, "vec_id")
+        buckets = max(8, len(cent_rows) // 4)
+        name = f"ivf_index_{tag}_{re.sub(r'[^0-9a-zA-Z]+', '_', app)}"
         base = tempfile.mkdtemp(prefix="ner_spark_ivf_")
+        _IVF_DIRS.append(base)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            assigned.repartition(8, F.col("cid"))
-            .write.bucketBy(8, "cid")
+            assigned.repartition(buckets, F.col("cid"))
+            .write.bucketBy(buckets, "cid")
             .sortBy("cid")
             .option("path", f"{base}/{name}")
             .mode("overwrite")
             .saveAsTable(name)
         )
-        _IVF_INDEX[key] = name
-    return _IVF_INDEX[key], cents, ev
+        _IVF_INDEX[key] = (name, cent_rows)
+    name, cent_rows = _IVF_INDEX[key]
+    cents = spark.createDataFrame(cent_rows, _CENTS_SCHEMA)
+    return name, cents, _emb_norm(spark, sf)
 
 
 @register(
@@ -989,7 +1063,11 @@ def ann_ivf_bucketed_probe(spark, sf):
     cells to the driver is O(n_queries x nprobe) — 40 values here — the
     standard "plan the probe, then prune the scan" ANN serving shape.
     Same semantics and same oracle as ann_ivf_topk: only the physical
-    layout differs, which is exactly what the differential checks."""
+    layout differs, which is exactly what the differential checks.
+    Serving cost: the probe plan contains NO training — the codebook is
+    rebuilt from the k x d centroid literals cached at index-build time
+    (ADVICE r03 item 2), so repeat probes pay only the pruned bucket
+    scan plus the broadcast query side."""
     name, cents, ev = _ensure_ivf_index(spark, sf)
     qprobe = _ivf_qprobe(spark, sf, cents, ev)
     cells = [r["cid"] for r in qprobe.select("cid").distinct().collect()]

@@ -45,14 +45,33 @@ def test_ivf_codebook_is_sqrt_n_sized(spark):
     fixed-stride codebook that grew linearly with the corpus."""
     import math
 
-    from ner_spark.queries_text import _ivf_topk
+    from pyspark.sql import functions as F
+
+    from ner_spark.queries_text import _ivf_parts, _ivf_topk
     from ner_spark.registry import t
 
     n = t(spark, SF01, "embeddings").count()
     k = max(4, math.isqrt(n))
-    # probed cells per query <= nprobe, and distinct cell ids over the
-    # whole assignment stay within the trained codebook size
+    assert k == 44 and n == 2000  # pin the sf0.1 sizing arithmetic
+    # stride-seeding keeps every vec_id % stride == 0 seed, so the
+    # codebook is ceil(n / stride) centroids — k plus at most the
+    # rounding slack of n // k
+    stride = max(1, n // k)
+    n_seeds = (n - 1) // stride + 1
+    assert k <= n_seeds <= k + stride, (k, n_seeds)
+    # inspect the TRAINED codebook itself (ADVICE r03 item 4): the full
+    # assignment must use at most n_seeds cells, and training must not
+    # have collapsed the codebook (a stride/sampling regression that
+    # seeds or trains on the wrong rows shows up as a degenerate count)
+    assigned, cents, _ = _ivf_parts(spark, SF01)
+    n_cells = assigned.select(
+        F.countDistinct("cid").alias("c")
+    ).collect()[0]["c"]
+    assert n_cells <= n_seeds, (n_cells, n_seeds)
+    assert n_cells > k // 2, (n_cells, k)
+    # every vector is assigned exactly once
+    assert assigned.count() == n
+    # probed cells per query <= nprobe
     df = _ivf_topk(spark, SF01)
     got = df.groupBy("query_id").count().collect()
     assert all(r["count"] <= 3 for r in got)
-    assert k == 44 and n == 2000  # pin the sf0.1 sizing arithmetic

@@ -42,10 +42,11 @@ def test_sf_keys_match_live_testdata():
         keys = json.load(f)
     assert set(keys) == set(GOLDEN_SF_DIRS)
     for tag, sf_dir in GOLDEN_SF_DIRS.items():
-        (live,) = duckdb.sql(
-            f"SELECT SUM(n_chars) FROM '{sf_dir}/documents.parquet'"
+        n_live, w_live = duckdb.sql(
+            f"SELECT COUNT(*), SUM(doc_id * n_chars) "
+            f"FROM '{sf_dir}/documents.parquet'"
         ).fetchone()
-        assert int(live) == keys[tag], (
+        assert [int(n_live), int(w_live)] == keys[tag], (
             f"{tag}: testdata fingerprint changed — regenerate goldens"
         )
 

@@ -195,11 +195,17 @@ def main() -> None:
     # --- sf-dependent entries: one snapshot per testdata scale ----------
     import json
 
-    sf_keys: dict[str, int] = {}
+    sf_keys: dict[str, list[int]] = {}
     per_sf_outs: dict[tuple[str, str], pd.DataFrame] = {}
     for tag, sf_dir in GOLDEN_SF_DIRS.items():
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-        sf_keys[tag] = int(docs.n_chars.sum())  # oracle-side selector key
+        # oracle-side selector key: (row count, content-weighted checksum)
+        # — SUM(n_chars) alone could collide with a regenerated corpus of
+        # identical total length (ADVICE r03 item 3)
+        sf_keys[tag] = [
+            int(len(docs)),
+            int((docs.doc_id.astype("int64") * docs.n_chars).sum()),
+        ]
         for name in GOLDEN_PER_SF:
             per_sf_outs[(name, tag)] = q[name](spark, sf_dir).toPandas()
 
@@ -252,7 +258,9 @@ def main() -> None:
         meta_wh = {}
         for doc_id, row in feats.iterrows():
             meta_wh[doc_id] = (int(row.width), int(row.height))
-        for doc_id, row in list(feats.iterrows())[:20]:
+        # verify EVERY row (ADVICE r03 item 5: a head-only sample would
+        # snapshot a payload regression affecting later doc_ids as golden)
+        for doc_id, row in feats.iterrows():
             n = int(row.width) * int(row.height)
             raw = np.random.default_rng(int(doc_id)).integers(
                 0, 256, n, dtype=np.uint8
@@ -262,7 +270,7 @@ def main() -> None:
         # resize: decoded pixel sums must equal an independent
         # nearest-neighbor resample of the raw payload (zlib-free check)
         rs = per_sf_outs[("mm_image_resize", tag)].set_index("doc_id")
-        for doc_id, row in list(rs.iterrows())[:20]:
+        for doc_id, row in rs.iterrows():
             w0, h0 = meta_wh[doc_id]
             raw = np.random.default_rng(int(doc_id)).integers(
                 0, 256, w0 * h0, dtype=np.uint8
