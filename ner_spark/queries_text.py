@@ -715,7 +715,15 @@ def ann_topk_bruteforce(spark, sf):
 # (squared-L2) on the vec_id%2 training sample, every float decision
 # quantized (ROUND(d,9) argmin + lowest-cid tiebreak; ROUND(mean,6)
 # centroid coordinates) so Spark and DuckDB train the SAME codebook.
-_IVF_CTES = """params AS (
+# Default probe width. nprobe=8 is the round-4 tuned setting: recall@3
+# at sf0.1 = 0.65 at 361 candidates/query (18% of the 2000-vector
+# corpus), vs round-3's nprobe=2 at 0.367/91 — the measured
+# recall-vs-candidates curve (incl. wider-codebook settings) is tabled
+# in BENCH/BASELINE.md; the absolute >=0.6 floor is gated by
+# tests/test_ann_quality.py.
+_IVF_NPROBE = 8
+
+_IVF_CTES = f"""params AS (
       SELECT GREATEST(1, CAST(FLOOR(cnt / k) AS BIGINT)) AS stride,
              GREATEST(2, CAST(FLOOR(cnt / LEAST(
                  CAST(FLOOR(cnt / 2) AS BIGINT), 200 * k)) AS BIGINT))
@@ -761,7 +769,7 @@ _IVF_CTES = """params AS (
             FROM afin JOIN ev ON ev.vec_id = afin.vec_id),
     qprobe AS (SELECT vec_id AS query_id, cid FROM dfin WHERE vec_id < 20
                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY ROUND(d, 9), cid) <= 2),
+                       ORDER BY ROUND(d, 9), cid) <= {_IVF_NPROBE}),
     qv AS (SELECT qprobe.query_id, qprobe.cid, ev.embedding, ev.nrm
            FROM qprobe JOIN ev ON ev.vec_id = qprobe.query_id),
     ivf_scored AS (
@@ -887,7 +895,7 @@ def _ivf_parts(spark, sf, iters=2):
     return assigned, cents, ev
 
 
-def _ivf_qprobe(spark, sf, cents, ev, n_queries=20, nprobe=2):
+def _ivf_qprobe(spark, sf, cents, ev, n_queries=20, nprobe=_IVF_NPROBE):
     """Per-query probe cells: each query ranks the broadcast codebook by
     squared-L2 (ROUND(d,9), cid tiebreak) and keeps its nprobe nearest —
     the ranking window runs over the BOUNDED query sample x k centroids,
@@ -948,7 +956,8 @@ def _ivf_score_topk(qprobe, index, k_neighbors=3):
     )
 
 
-def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
+def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=_IVF_NPROBE,
+              iters=2):
     """Trained-IVF ANN, in-plan probe (Spark side of _IVF_CTES).
     Returns (query_id, neighbor_id, cos_sim)."""
     assigned, cents, ev = _ivf_parts(spark, sf, iters=iters)
@@ -966,13 +975,15 @@ def _ivf_topk(spark, sf, n_queries=20, k_neighbors=3, nprobe=2, iters=2):
 def ann_ivf_topk(spark, sf):
     """IVF ANN with a TRAINED coarse quantizer (round-3 VERDICT item 1):
     k = max(4, floor(sqrt(N))) centroids — sized to the data, not the
-    round-2 fixed N/100 — trained by 2 Lloyd iterations on a half sample
-    (the kmeans_lloyd operator wired in as the quantizer it always
-    claimed to be), then every vector assigned to its nearest cell and
-    queries probing their nprobe=2 nearest cells, cosine top-3 within the
-    probed inverted lists. Recall≥3 measured by ann_recall_ivf: 0.367 at
-    sf0.1 vs 0.267 for the round-2 fixed-bucket path, at ~1/3 the
-    candidate pairs. See _ivf_topk for the physical-plan story."""
+    round-2 fixed N/100 — trained by 2 Lloyd iterations on a bounded
+    min(N/2, 200k) sample (the kmeans_lloyd operator wired in as the
+    quantizer it always claimed to be), then every vector assigned to
+    its nearest cell and queries probing their nprobe=8 nearest cells,
+    cosine top-3 within the probed inverted lists. Recall@3 measured by
+    ann_recall_ivf: 0.65 at sf0.1 (361 candidates/query — within the 2x
+    budget of round 3's LSH 224), gated >= 0.6 absolute by
+    tests/test_ann_quality.py; the full recall-vs-candidates curve is in
+    BENCH/BASELINE.md. See _ivf_topk for the physical-plan story."""
     return _ivf_topk(spark, sf).select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
     )
@@ -1364,9 +1375,9 @@ def ann_recall(spark, sf):
 def ann_recall_ivf(spark, sf):
     """recall@3 of the TRAINED-IVF index (ann_ivf_topk) vs brute force —
     the quality gate round-3 VERDICT item 1 requires alongside the
-    trained quantizer. At sf0.1: 0.367 vs the round-2 fixed-bucket
-    path's 0.267, with ~1/3 the candidate pairs (asserted in
-    tests/test_ann_quality.py). Same metric-join shape as ann_recall."""
+    trained quantizer. At sf0.1 with the tuned nprobe=8: 0.65 at 361
+    candidates/query, gated >= 0.6 absolute in
+    tests/test_ann_quality.py. Same metric-join shape as ann_recall."""
     bf = _bf_topk(spark, sf, 20, 3)
     ivf = ann_ivf_topk(spark, sf).select("query_id", "neighbor_id")
     return _recall_against(bf, ivf)

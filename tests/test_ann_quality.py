@@ -1,13 +1,19 @@
-"""ANN index quality gates (round-3 VERDICT items 1–2 "done" criteria):
-the trained-IVF and multi-probe SRP-LSH indexes must each recover at
-least as much of the brute-force truth at sf0.1 as the round-2
-fixed-3-bit-bucket path did — the recall floor that makes the new
-parameterizations an improvement, not just a different approximation.
+"""ANN index quality gates: ABSOLUTE recall floors at stated candidate
+budgets (round-4: VERDICT r03 item 2 raised these from "beats the
+round-2 path's 0.2667" to fixed bars).
 
-The floor (0.2667 avg recall@3 over the 20-query sample at sf0.1) is the
-measured recall of the round-2 path (3 axis-aligned sign bits, exact
-probe), recomputed from the same parquet in the numpy prototype; it is a
-CONSTANT here because the round-2 code is gone.
+Budgets and measured points at sf0.1 (N=2000, 20-query sample; the full
+recall-vs-candidates curve is tabled in BENCH/BASELINE.md):
+- trained IVF, nprobe=8 (the shipped default): recall@3 = 0.65 at 361
+  candidates/query — within 2x the round-3 LSH budget of 224. Floor 0.6.
+- multi-probe SRP-LSH (n_bits=8, radius=2, the shipped low-budget
+  default): recall@3 = 0.4167 at 224 candidates/query. Floor 0.40
+  (the >=0.6-capable LSH setting, radius=3 at 819 cand/query, is
+  documented but not shipped as default — 41% of the corpus per query
+  is the wrong default budget).
+All gates are deterministic: hashes, rounding and tiebreaks are pinned
+on both engines, so a run that passed once regresses only if code
+changes.
 """
 
 from __future__ import annotations
@@ -15,7 +21,8 @@ from __future__ import annotations
 import pytest
 
 SF01 = "/root/testdata/sf0.1"
-ROUND2_BUCKETED_RECALL = 0.2667  # 16/60 hits: 3-bit sign bucket, no probe
+IVF_RECALL_FLOOR = 0.6    # at <= 448 candidates/query (2x round-3 LSH)
+LSH_RECALL_FLOOR = 0.40   # at <= 224 candidates/query
 
 
 def _avg_recall(spark, name: str) -> float:
@@ -26,17 +33,43 @@ def _avg_recall(spark, name: str) -> float:
     return sum(r.n_hit for r in rows) / sum(r.n_true for r in rows)
 
 
-def test_lsh_multiprobe_recall_beats_round2_floor(spark):
-    # measured 0.4167 at sf0.1 (25/60) with FEWER candidates per query
-    # (224 vs 254) — multi-probe buys recall without bucket occupancy
+def test_lsh_multiprobe_recall_floor(spark):
+    # measured 0.4167 at sf0.1 (25/60) at 224 candidates/query
     r = _avg_recall(spark, "ann_recall")
-    assert r >= ROUND2_BUCKETED_RECALL, r
+    assert r >= LSH_RECALL_FLOOR, r
 
 
-def test_trained_ivf_recall_beats_round2_floor(spark):
-    # measured 0.3667 at sf0.1 (22/60) at ~1/3 the candidates (91 vs 254)
+def test_trained_ivf_recall_floor(spark):
+    # measured 0.65 at sf0.1 (39/60) at 361 candidates/query
     r = _avg_recall(spark, "ann_recall_ivf")
-    assert r >= ROUND2_BUCKETED_RECALL, r
+    assert r >= IVF_RECALL_FLOOR, r
+
+
+def test_ivf_candidate_budget(spark):
+    """The recall floor is only meaningful AT its stated budget: the
+    nprobe=8 probe must examine <= 448 candidates/query (2x the round-3
+    LSH budget), not degenerate into near-brute-force."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.queries_text import (
+        _assign_cells,
+        _emb_norm,
+        _ivf_parts,
+        _ivf_qprobe,
+    )
+
+    assigned, cents, ev = _ivf_parts(spark, SF01)
+    qp = _ivf_qprobe(spark, SF01, cents, ev)
+    cand = (
+        qp.alias("q")
+        .join(
+            assigned.alias("e"),
+            (F.col("q.cid") == F.col("e.cid"))
+            & (F.col("q.query_id") != F.col("e.vec_id")),
+        )
+        .count()
+    )
+    assert cand / 20 <= 448, cand / 20
 
 
 def test_ivf_codebook_is_sqrt_n_sized(spark):
