@@ -27,7 +27,18 @@ Two reader shapes under one format name:
   argless (the reader cannot see the checkpointed start after a
   restart), the bounded distributed feed advertises full availability —
   constant, hence restart-safe — and leaves rate-limited micro-batching
-  to the driver-side simple reader."""
+  to the driver-side simple reader.
+
+Trigger.AvailableNow contract (pinned in
+tests/test_transcript_stream.py::test_available_now_fallback_contract):
+the Python DataSource API exposes no SupportsTriggerAvailableNow hook,
+so Spark falls back to single-batch execution — each availableNow run
+processes exactly ONE micro-batch, commits, and terminates; repeated
+runs on the same checkpoint drain the feed exactly-once; post-
+exhaustion runs are clean 0-row no-ops. availableNow here is
+Trigger.Once, not drain-everything — a full drain takes
+ceil(n_convs / convs_per_batch) runs, or use the processingTime drain
+helpers in streaming/incremental.py."""
 
 from __future__ import annotations
 
