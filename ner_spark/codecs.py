@@ -1,9 +1,13 @@
-"""Stdlib-only media codecs (round-3 VERDICT item 4): a real PNG
-decoder/encoder built on ``zlib`` and a WAV decoder/encoder built on the
-stdlib ``wave`` module, so the multimodal operators exercise genuine
-container formats without any non-baked-in library. JPEG (and every other
-codec-library format) remains a documented ``NotImplementedError``
-boundary in multimodal.decode_image.
+"""Stdlib-only media codecs (round-3 VERDICT item 4; JPEG added round
+4): a real PNG decoder/encoder built on ``zlib``, a WAV decoder/encoder
+built on the stdlib ``wave`` module, and a baseline-sequential grayscale
+JPEG encoder/decoder in pure numpy/stdlib (ITU-T T.81: 8x8 DCT, Annex K
+default tables, canonical Huffman, byte stuffing), so the multimodal
+operators exercise the three most common container formats without any
+non-baked-in library. Progressive/arithmetic/hierarchical JPEG, restart
+intervals, subsampled or multi-component scans remain documented
+``NotImplementedError`` boundaries — plug libjpeg/PIL in on a real
+cluster for those.
 
 PNG scope (everything the spec requires for the formats we emit, plus the
 full filter set any third-party encoder may use):
@@ -212,3 +216,352 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         wf.setframerate(sample_rate)
         wf.writeframes(payload)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, grayscale (ITU-T T.81)
+# ---------------------------------------------------------------------------
+# Annex K.1 default luminance quantization table (natural raster order)
+# and K.3 default luminance Huffman tables — the public spec constants
+# every baseline encoder ships.
+_JPEG_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# zigzag scan order: entry i is the natural-raster index of the i-th
+# zigzag position (T.81 figure 5)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_N = np.arange(8)
+# orthonormal type-II DCT matrix: coef = D @ block @ D.T, pixels = D.T @ coef @ D
+_JPEG_DCT = np.cos((2 * _JPEG_N[None, :] + 1) * _JPEG_N[:, None] * np.pi / 16) * 0.5
+_JPEG_DCT[0, :] *= 1 / np.sqrt(2)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (T.81 C.2)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_quality_scale(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K table (libjpeg jcparam.c
+    formula — public): 50 = table as-is, 100 -> all 1s."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((_JPEG_STD_LUMA_Q * s + 50) // 100, 1, 255)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing (F.1.2.3)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill padding
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_magnitude(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w) uint8 -> baseline-sequential grayscale JPEG bytes.
+
+    Blocks are edge-padded to 8x8 multiples; the DCT runs as one
+    vectorized einsum over all blocks, only the entropy coding is a
+    per-block python loop (bounded: media_table caps jpeg payloads at
+    thumbnail size; a real cluster swaps in libjpeg at the same call
+    site)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = _jpeg_quality_scale(quality).reshape(8, 8)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    pix = np.pad(
+        img, ((0, -h % 8), (0, -w % 8)), mode="edge"
+    ).astype(np.float64) - 128.0
+    H, W = pix.shape
+    blocks = pix.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,bcjk,lk->bcil", _JPEG_DCT, blocks, _JPEG_DCT)
+    zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _JPEG_ZIGZAG]
+
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for bz in zz:
+        diff = int(bz[0]) - prev_dc
+        prev_dc = int(bz[0])
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(_jpeg_magnitude(diff, cat), cat)
+        run = 0
+        nz = np.nonzero(bz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(bz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(_jpeg_magnitude(v, cat), cat)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFDB, bytes([0]) + bytes(q.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8))
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise EOFError("entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise EOFError("marker inside entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_table(bits, vals):
+    """(BITS, HUFFVAL) -> {(code, length): symbol}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(code, length)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_read_symbol(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """baseline-sequential grayscale JPEG bytes -> (h, w) uint8.
+
+    A general baseline parser (any 8-bit single-component baseline
+    stream with its own DQT/DHT, not just our encoder's output — APPn/
+    COM segments are skipped, quant/huffman tables are read from the
+    stream). SOF2/arithmetic/hierarchical markers, restart intervals,
+    16-bit quant tables, subsampling and multi-component scans raise
+    NotImplementedError — the documented libjpeg boundary."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone TEM/RSTn
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8
+                )
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_decode_table(
+                    bits, list(body[i + 17:i + 17 + n])
+                )
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended seq.
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nc != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG unsupported "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows to EOI
+            if body[0] != 1:
+                raise NotImplementedError("interleaved multi-component scan")
+            dc_tab = huff[(0, body[2] >> 4)]
+            ac_tab = huff[(1, body[2] & 0xF)]
+            return _jpeg_decode_scan(data[pos:], h, w, qt[comp_q],
+                                     dc_tab, ac_tab)
+        # else: APPn / COM — skipped
+    raise ValueError("no SOS marker found")
+
+
+def _jpeg_decode_scan(scan, h, w, q, dc_tab, ac_tab):
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    br = _JpegBitReader(scan)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _jpeg_read_symbol(br, dc_tab)
+            prev_dc += _jpeg_extend(br.bits(cat), cat) if cat else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _jpeg_read_symbol(br, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _jpeg_extend(br.bits(s), s)
+                k += 1
+            block = np.zeros(64, dtype=np.int64)
+            block[_JPEG_ZIGZAG] = zz
+            pix = _JPEG_DCT.T @ (block.reshape(8, 8) * q) @ _JPEG_DCT
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

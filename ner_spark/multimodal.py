@@ -2,17 +2,21 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages
 (SURVEY.md §2.10; task-brief "multimodal columns").
 
-Two REAL container formats run end-to-end on stdlib-only codecs
-(ner_spark/codecs.py, round-3 VERDICT item 4): PNG (zlib inflate + full
-filter-set unfiltering + CRC checks) and WAV (stdlib ``wave`` PCM).
-:func:`media_table` emits half its payloads in those containers, so the
-registry entries decode genuine formats every run. The ``x-fake`` format
-(raw ``np.frombuffer``) remains for the stub path, and codec-library-only
-formats (jpeg/...) still raise ``NotImplementedError`` at the decode
-boundary — swap in PIL/turbojpeg there on a real cluster. Everything else
-is production-shaped: binary Arrow transfer, struct metadata, batch
-processing, binary-in/binary-out resize (PNG in → PNG out), per-row frame
-sampling.
+Three REAL container formats run end-to-end on stdlib-only codecs
+(ner_spark/codecs.py; PNG/WAV round 3, baseline JPEG round 4): PNG
+(zlib inflate + full filter-set unfiltering + CRC checks), WAV (stdlib
+``wave`` PCM) and baseline-sequential grayscale JPEG (pure-numpy T.81
+DCT + Huffman). :func:`media_table` emits most image/audio payloads in
+those containers, so the registry entries decode genuine formats every
+run; jpeg rows are thumbnail-sized (<= 64 px a side) because the
+entropy coder is a python loop — a real cluster swaps libjpeg in at the
+same decode call site. The ``x-fake`` format (raw ``np.frombuffer``)
+remains for the stub path, and the codec's own NotImplementedError
+boundary is now INSIDE the format (progressive/arithmetic/subsampled/
+multi-component JPEG), not the format itself. Everything else is
+production-shaped: binary Arrow transfer, struct metadata, batch
+processing, binary-in/binary-out resize (PNG in → PNG out, JPEG in →
+JPEG out), per-row frame sampling.
 
 Scale notes: payload rows are wide (binary), so stages keep
 maxRecordsPerBatch-bounded Arrow batches; operators are row-parallel
@@ -28,7 +32,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ner_spark.codecs import decode_png, decode_wav, encode_png, encode_wav
+from ner_spark.codecs import (
+    decode_jpeg_gray,
+    decode_png,
+    decode_wav,
+    encode_jpeg_gray,
+    encode_png,
+    encode_wav,
+)
 
 FAKE_FORMAT = "x-fake"
 
@@ -56,17 +67,32 @@ def media_table(documents: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
         F.struct(
-            # half the corpus ships in REAL containers (PNG for images,
-            # WAV for audio/video tracks) so the decode path below is a
-            # genuine codec round-trip, not just the x-fake stub
+            # most of the corpus ships in REAL containers (PNG for even
+            # images, baseline JPEG for every 4th odd image, WAV for even
+            # audio/video tracks) so the decode path below is a genuine
+            # codec round-trip, not just the x-fake stub
             F.when(
                 F.col("doc_id") % 2 == 0,
                 F.when(F.col("doc_id") % 3 == 0, "png").otherwise("wav"),
             )
+            .when(F.col("doc_id") % 12 == 3, "jpeg")
             .otherwise(FAKE_FORMAT)
             .alias("format"),
-            ((F.col("n_chars") * 7) % 512 + 16).cast("int").alias("width"),
-            ((F.col("n_chars") * 13) % 512 + 16).cast("int").alias("height"),
+            # jpeg rows are thumbnails (16-63 px a side): the stdlib
+            # entropy coder is per-block python, so the fixture keeps its
+            # cost bounded (<= 64 DCT blocks per payload)
+            F.when(
+                F.col("doc_id") % 12 == 3, (F.col("n_chars") * 7) % 48 + 16
+            )
+            .otherwise((F.col("n_chars") * 7) % 512 + 16)
+            .cast("int")
+            .alias("width"),
+            F.when(
+                F.col("doc_id") % 12 == 3, (F.col("n_chars") * 13) % 48 + 16
+            )
+            .otherwise((F.col("n_chars") * 13) % 512 + 16)
+            .cast("int")
+            .alias("height"),
             F.lit(16000).alias("sample_rate"),
             ((F.col("n_chars") * 31) % 5000 + 1000).cast("int").alias("duration_ms"),
         ).alias("meta"),
@@ -87,6 +113,12 @@ def media_table(documents: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_png(raw.reshape(meta["height"], meta["width"]))
                     )
+                elif meta["format"] == "jpeg":
+                    payloads.append(
+                        encode_jpeg_gray(
+                            raw.reshape(meta["height"], meta["width"])
+                        )
+                    )
                 elif meta["format"] == "wav":
                     payloads.append(encode_wav(raw, meta["sample_rate"]))
                 else:
@@ -102,9 +134,12 @@ def media_table(documents: DataFrame) -> DataFrame:
 # decode stubs (the only not-real part; see module docstring)
 # ---------------------------------------------------------------------------
 def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """bytes → (height, width) uint8 array. PNG decodes through the real
-    stdlib-zlib codec (color collapses to integer luma so downstream
-    schemas stay rank-2); jpeg et al. still need a codec library."""
+    """bytes → (height, width) uint8 array. PNG and baseline JPEG decode
+    through the real stdlib/numpy codecs (PNG color collapses to integer
+    luma so downstream schemas stay rank-2); other codec-library formats
+    still raise. NOTE jpeg decode is LOSSY: the decoded array is the
+    codec's reconstruction, not the pre-encode payload bytes — stats
+    downstream are over decoded pixels, as on a real cluster."""
     if meta["format"] == "png":
         a = decode_png(payload)
         if a.ndim == 3:  # RGB(A) → luma, integer arithmetic (deterministic)
@@ -112,6 +147,8 @@ def decode_image(payload: bytes, meta: dict) -> np.ndarray:
             a = ((r * 299 + g.astype(np.int32) * 587 + b.astype(np.int32) * 114)
                  // 1000).astype(np.uint8)
         return a
+    if meta["format"] == "jpeg":
+        return decode_jpeg_gray(payload)
     if meta["format"] != FAKE_FORMAT:
         raise NotImplementedError(
             f"no codec for {meta['format']!r} in this environment; "
@@ -186,10 +223,12 @@ def image_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
                 yi = (np.arange(height) * a.shape[0] // height)[:, None]
                 xi = (np.arange(width) * a.shape[1] // width)[None, :]
                 resized = a[yi, xi]
-                # container-preserving: PNG in → PNG out (real re-encode),
-                # x-fake stays raw bytes
+                # container-preserving: PNG in → PNG out, JPEG in → JPEG
+                # out (real re-encodes); x-fake stays raw bytes
                 if meta["format"] == "png":
                     out_payload.append(encode_png(resized))
+                elif meta["format"] == "jpeg":
+                    out_payload.append(encode_jpeg_gray(resized))
                 else:
                     out_payload.append(resized.tobytes())
                 m = dict(meta)

@@ -30,8 +30,10 @@ def _media(spark, sf):
       SELECT doc_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             CAST((n_chars * 7) % 512 + 16 AS INT) AS width,
-             CAST((n_chars * 13) % 512 + 16 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 12 = 3 THEN (n_chars * 7) % 48 + 16
+                       ELSE (n_chars * 7) % 512 + 16 END AS INT) AS width,
+             CAST(CASE WHEN doc_id % 12 = 3 THEN (n_chars * 13) % 48 + 16
+                       ELSE (n_chars * 13) % 512 + 16 END AS INT) AS height,
              CAST((n_chars * 31) % 5000 + 1000 AS INT) AS duration_ms
       FROM documents)
     SELECT kind, COUNT(*) AS n_items,

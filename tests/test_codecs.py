@@ -193,3 +193,139 @@ def test_png_luma_collapse_is_integer_deterministic():
         np.uint8,
     )
     assert np.array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, grayscale — round-4 stretch item)
+# ---------------------------------------------------------------------------
+from ner_spark.codecs import (  # noqa: E402
+    _JPEG_AC_BITS,
+    _JPEG_AC_VALS,
+    _JPEG_DC_BITS,
+    _JPEG_DC_VALS,
+    _jpeg_canonical_codes,
+    _JpegBitWriter,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _jpeg_fixture(entropy: bytes, h: int = 8, w: int = 8,
+                  quant: bytes = bytes([1] * 64), sof: int = 0xFFC0,
+                  sampling: int = 0x11) -> bytes:
+    """Hand-assemble a minimal single-component JPEG per T.81 (SOI, DQT,
+    SOF, two DHTs with the Annex K tables, SOS, entropy, EOI) —
+    INDEPENDENT of encode_jpeg_gray's segment writer."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">HH", 0xFFDB, 67) + bytes([0]) + quant
+    out += struct.pack(">HH", sof, 11) + struct.pack(">BHHB", 8, h, w, 1)
+    out += bytes([1, sampling, 0])
+    out += struct.pack(">HH", 0xFFC4, 19 + len(_JPEG_DC_VALS))
+    out += bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    out += struct.pack(">HH", 0xFFC4, 19 + len(_JPEG_AC_VALS))
+    out += bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    out += struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_spec_fixture_dc_only_block():
+    """Hand-built T.81 fixture: all-1 quant table, one 8x8 block whose
+    entropy data is DC category 6 with magnitude bits 101000 (EXTEND →
+    +40), then EOB. A DC-only block reconstructs flat at
+    round(DC * q / 8) + 128 = round(40/8) + 128 = 133 — asserting the
+    decoder's Huffman tables, EXTEND, dequantization, IDCT scaling and
+    level shift against spec arithmetic, not against our encoder."""
+    bw = _JpegBitWriter()
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    code, ln = dc[6]
+    bw.put(code, ln)
+    bw.put(40, 6)  # magnitude bits for +40 (category 6)
+    code, ln = ac[0x00]  # EOB
+    bw.put(code, ln)
+    bw.flush()
+    got = decode_jpeg_gray(_jpeg_fixture(bytes(bw.out)))
+    assert np.array_equal(got, np.full((8, 8), 133, np.uint8)), got[0, :4]
+
+
+def test_jpeg_spec_fixture_negative_dc_and_ac():
+    """Second hand fixture: DC category 3 bits 010 (EXTEND → -5), then
+    AC run/size 0x01 with bit 1 (+1 at zigzag position 1), EOB. Checks
+    the negative-EXTEND branch and AC coefficient placement: expected
+    pixels are the IDCT of F(0,0)=-5, F(0,1)=+1 (all-1 quant)."""
+    bw = _JpegBitWriter()
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    code, ln = dc[3]
+    bw.put(code, ln)
+    bw.put(0b010, 3)  # EXTEND(2, 3) = 2 - 7 = -5
+    code, ln = ac[0x01]
+    bw.put(code, ln)
+    bw.put(1, 1)  # +1
+    code, ln = ac[0x00]
+    bw.put(code, ln)
+    bw.flush()
+    got = decode_jpeg_gray(_jpeg_fixture(bytes(bw.out)))
+    # independent reconstruction from the DCT-III definition:
+    # F(0,0) contributes -5/8 everywhere; F(0,1) contributes
+    # (1/sqrt(8)) * sqrt(2/8) * cos((2x+1)pi/16) per column x
+    n = np.arange(8)
+    basis1 = np.sqrt(2 / 8) * np.cos((2 * n + 1) * 1 * np.pi / 16)
+    exp = np.clip(np.round(
+        -5 / 8 + np.tile(basis1 / np.sqrt(8), (8, 1)) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got, exp), (got[0], exp[0])
+
+
+def test_jpeg_flat_roundtrip_exact():
+    for v in (0, 67, 128, 255):
+        img = np.full((24, 40), v, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+def test_jpeg_odd_sizes_and_determinism():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (30, 50), dtype=np.uint8)
+    b1, b2 = encode_jpeg_gray(img), encode_jpeg_gray(img)
+    assert b1 == b2
+    d1, d2 = decode_jpeg_gray(b1), decode_jpeg_gray(b1)
+    assert d1.shape == (30, 50)
+    assert np.array_equal(d1, d2)
+
+
+def test_jpeg_gradient_high_psnr():
+    y, x = np.mgrid[0:64, 0:48]
+    img = ((y * 2 + x * 3) % 256).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, quality=90))
+    err = dec.astype(float) - img
+    psnr = 10 * np.log10(255**2 / np.mean(err**2))
+    assert psnr > 35, psnr
+
+
+def test_jpeg_progressive_and_variants_raise():
+    bw = _JpegBitWriter()
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    code, ln = dc[0]
+    bw.put(code, ln)
+    bw.flush()
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(_jpeg_fixture(bytes(bw.out), sof=0xFFC2))
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_gray(_jpeg_fixture(bytes(bw.out), sampling=0x22))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG")
+
+
+def test_jpeg_skips_app_segments():
+    """APPn/COM segments (what real camera files carry before SOF) must
+    be skipped by the parser."""
+    img = np.full((8, 8), 90, dtype=np.uint8)
+    data = encode_jpeg_gray(img)
+    # splice an APP0/JFIF header and a COM right after SOI
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe\x00\x07hello"
+    spliced = data[:2] + app0 + com + data[2:]
+    assert np.array_equal(decode_jpeg_gray(spliced), img)

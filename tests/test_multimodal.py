@@ -26,7 +26,7 @@ def test_media_schema_and_payload_sizes(media):
         "sample_rate:int,duration_ms:int>>"
     )
     pdf = media.limit(50).toPandas()
-    from ner_spark.codecs import decode_png, decode_wav
+    from ner_spark.codecs import decode_jpeg_gray, decode_png, decode_wav
 
     for _, r in pdf.iterrows():
         expect = (
@@ -39,6 +39,10 @@ def test_media_schema_and_payload_sizes(media):
             assert len(r.payload) == expect
         elif fmt == "png":  # real container: size checked after decode
             assert decode_png(bytes(r.payload)).size == expect
+        elif fmt == "jpeg":  # real (lossy) container — shape must hold
+            a = decode_jpeg_gray(bytes(r.payload))
+            assert a.shape == (r.meta["height"], r.meta["width"])
+            assert max(a.shape) < 64  # thumbnail-capped fixture rows
         else:
             assert fmt == "wav"
             samples, rate = decode_wav(bytes(r.payload))
@@ -46,7 +50,7 @@ def test_media_schema_and_payload_sizes(media):
         assert isinstance(r.payload, (bytes, bytearray))
     # the corpus must actually exercise every container (non-vacuous)
     assert set(pdf.meta.map(lambda m: m["format"])) == {
-        M.FAKE_FORMAT, "png", "wav",
+        M.FAKE_FORMAT, "png", "wav", "jpeg",
     }
 
 
@@ -61,7 +65,7 @@ def test_decode_is_deterministic(media):
 
 def test_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8", {"format": "jpeg"})
+        M.decode_image(b"RIFF....WEBP", {"format": "webp"})
 
 
 def test_image_features_values(spark, media):
@@ -79,13 +83,15 @@ def test_resize_shape_and_batch_independence(spark, media):
     """Output is invariant to partitioning/batch boundaries."""
     r1 = M.image_resize(media).toPandas()
     r2 = M.image_resize(media.repartition(7)).toPandas()
-    from ner_spark.codecs import decode_png
+    from ner_spark.codecs import decode_jpeg_gray, decode_png
 
     for df in (r1, r2):
         assert (df.meta.map(lambda m: (m["width"], m["height"])) == (32, 32)).all()
         for _, r in df.iterrows():
             if r.meta["format"] == "png":  # container preserved end-to-end
                 assert decode_png(bytes(r.payload)).shape == (32, 32)
+            elif r.meta["format"] == "jpeg":
+                assert decode_jpeg_gray(bytes(r.payload)).shape == (32, 32)
             else:
                 assert len(r.payload) == 32 * 32
     a = r1.sort_values("doc_id").reset_index(drop=True)

@@ -253,7 +253,20 @@ def main() -> None:
         }
         assert not missed, f"{tag}: minhash_fast missed {sorted(missed)[:5]}"
 
-        # media stats recomputed from the raw deterministic payload stream
+        # media stats recomputed from the raw deterministic payload
+        # stream. png/x-fake rows reconstruct EXACTLY (lossless), so the
+        # recompute is fully independent of the codecs; jpeg rows are
+        # LOSSY — for those the recompute replays the encode→decode
+        # chain (determinism + wiring check; decoder CORRECTNESS for
+        # jpeg is established by the hand-built T.81 spec fixtures in
+        # tests/test_codecs.py) and additionally bounds the decoded
+        # stats against the raw stream so a grossly-broken decode can't
+        # be snapshotted as golden.
+        from ner_spark.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+        def _is_jpeg(doc_id: int) -> bool:
+            return doc_id % 12 == 3  # media_table's format rule
+
         feats = per_sf_outs[("mm_image_features", tag)].set_index("doc_id")
         meta_wh = {}
         for doc_id, row in feats.iterrows():
@@ -261,23 +274,35 @@ def main() -> None:
         # verify EVERY row (ADVICE r03 item 5: a head-only sample would
         # snapshot a payload regression affecting later doc_ids as golden)
         for doc_id, row in feats.iterrows():
-            n = int(row.width) * int(row.height)
+            w0, h0 = int(row.width), int(row.height)
             raw = np.random.default_rng(int(doc_id)).integers(
-                0, 256, n, dtype=np.uint8
+                0, 256, w0 * h0, dtype=np.uint8
             )
-            assert abs(float(raw.mean()) - row.mean_intensity) < 1e-9, doc_id
-            assert abs(float(raw.std()) - row.std_intensity) < 1e-9, doc_id
+            if _is_jpeg(int(doc_id)):
+                dec = decode_jpeg_gray(encode_jpeg_gray(raw.reshape(h0, w0)))
+                assert abs(float(dec.mean()) - row.mean_intensity) < 1e-9, doc_id
+                assert abs(float(dec.std()) - row.std_intensity) < 1e-9, doc_id
+                assert abs(float(raw.mean()) - row.mean_intensity) < 8, doc_id
+            else:
+                assert abs(float(raw.mean()) - row.mean_intensity) < 1e-9, doc_id
+                assert abs(float(raw.std()) - row.std_intensity) < 1e-9, doc_id
         # resize: decoded pixel sums must equal an independent
-        # nearest-neighbor resample of the raw payload (zlib-free check)
+        # nearest-neighbor resample of the raw payload (zlib-free check);
+        # jpeg rows replay the full lossy chain
         rs = per_sf_outs[("mm_image_resize", tag)].set_index("doc_id")
         for doc_id, row in rs.iterrows():
             w0, h0 = meta_wh[doc_id]
             raw = np.random.default_rng(int(doc_id)).integers(
                 0, 256, w0 * h0, dtype=np.uint8
             ).reshape(h0, w0)
+            if _is_jpeg(int(doc_id)):
+                raw = decode_jpeg_gray(encode_jpeg_gray(raw))
             yi = (np.arange(int(row.height)) * h0 // int(row.height))[:, None]
             xi = (np.arange(int(row.width)) * w0 // int(row.width))[None, :]
-            assert int(raw[yi, xi].sum()) == row.pixel_sum, doc_id
+            resized = raw[yi, xi]
+            if _is_jpeg(int(doc_id)):
+                resized = decode_jpeg_gray(encode_jpeg_gray(resized))
+            assert int(resized.sum()) == row.pixel_sum, doc_id
             assert int(row.n_pixels) == int(row.width) * int(row.height)
         print(f"  parity ok: {tag} minhash truth ({len(truth)} pairs) + mm stats")
 
