@@ -60,6 +60,13 @@ class KGPipeline(StagedPipeline):
     # -- pipeline -------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
         spark = self.spark
+        # tx_raw feeds the triple builders: the pair join re-shuffles on
+        # (conv_id, turn_idx) and the tool as-of re-windows on conv_id, so
+        # routing them through the salted repartition below would re-run a
+        # full-table shuffle twice for a partitioning neither consumer
+        # keeps — and it would block the scan-level projection/filter
+        # pushdown (text-only / role='tool') that the raw scan gets
+        tx_raw = transcripts
         tx = transcripts
         if self.n_partitions:
             # explicit partitioning by conv_id with hot-conversation
@@ -95,8 +102,8 @@ class KGPipeline(StagedPipeline):
         triples = self._stage(
             "triples",
             lambda: canonicalize_triples(
-                rel_cooc_triples(links, tx).unionByName(
-                    tool_triples(links, tx, self.gaz_pdf, spark)
+                rel_cooc_triples(links, tx_raw).unionByName(
+                    tool_triples(links, tx_raw, self.gaz_pdf, spark)
                 ),
                 canon,
             ),
