@@ -102,21 +102,47 @@ def tokenize_batch(texts: np.ndarray) -> dict[str, np.ndarray]:
     ordered by (row, piece, chunk) — matching the oracle's per-turn
     enumeration), and sent_idx_in_turn.
     """
-    rows, starts, ends, toks, pieces = [], [], [], [], []
+    starts, ends, toks = [], [], []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    tok_find = spec.TOKEN_RE.finditer
+    sent_find = spec.SENT_SPLIT_RE.finditer
+    # sentence bounds from every text collapse into ONE searchsorted at
+    # the end: key = row*OFF + offset keeps per-text order (offsets are
+    # char positions < OFF), and subtracting the per-row running bound
+    # count recovers the per-text insertion position
+    OFF = 1 << 32
+    bkeys: list[int] = []
+    cumb = np.zeros(len(texts), dtype=np.int64)
+    running = 0
     for r, text in enumerate(texts):
-        bounds = [m.end() for m in spec.SENT_SPLIT_RE.finditer(text)]
-        for m in spec.TOKEN_RE.finditer(text):
-            rows.append(r)
-            starts.append(m.start())
-            ends.append(m.end())
-            toks.append(m.group(0))
-        # piece index per token of this row via searchsorted
-        n_new = len(rows) - len(pieces)
-        if n_new:
-            st = np.asarray(starts[-n_new:])
-            pieces.extend(np.searchsorted(np.asarray(bounds), st, side="right").tolist())
-    row_a = np.asarray(rows, dtype=np.int64)
-    piece_a = np.asarray(pieces, dtype=np.int64)
+        cumb[r] = running
+        spans = [m.span() for m in tok_find(text)]
+        counts[r] = len(spans)
+        if not spans:
+            continue
+        st, en = zip(*spans)
+        starts.extend(st)
+        ends.extend(en)
+        toks.extend([text[s:e] for s, e in spans])
+        base = r * OFF
+        bl = [base + m.end() for m in sent_find(text)]
+        bkeys.extend(bl)
+        running += len(bl)
+    # row ids materialize once from per-text counts instead of one append
+    # per token — same (row asc, start asc) order as the emitted offsets
+    row_a = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    start_np = np.asarray(starts, dtype=np.int64)
+    if len(row_a):
+        piece_a = (
+            np.searchsorted(
+                np.asarray(bkeys, dtype=np.int64),
+                row_a * OFF + start_np,
+                side="right",
+            )
+            - cumb[row_a]
+        )
+    else:
+        piece_a = np.zeros(0, dtype=np.int64)
     # rank of token within its (row, piece) for MAX_SENT_LEN chunking
     if len(row_a):
         key_change = np.empty(len(row_a), dtype=bool)
@@ -136,7 +162,7 @@ def tokenize_batch(texts: np.ndarray) -> dict[str, np.ndarray]:
         sent_in_turn = np.zeros(0, dtype=np.int64)
     return {
         "row": row_a,
-        "start": np.asarray(starts, dtype=np.int64),
+        "start": start_np,
         "end": np.asarray(ends, dtype=np.int64),
         "text": np.asarray(toks, dtype=object),
         "sent": sent,
@@ -360,35 +386,70 @@ def decode_mentions(
     """BIO runs → mention arrays (row, sent_in_turn, start, end, surface,
     type_code, score). Sparse python loop over B- positions only."""
     sent = tok["sent"]
-    margins = em[np.arange(len(labels)), labels] - em[:, _O]
-    is_b = (labels > 0) & (labels % 2 == 1)  # B-* ids are odd (1,3,5,7)
-    rows, sidx, starts, ends, surfaces, types, scores = [], [], [], [], [], [], []
-    b_pos = np.nonzero(is_b)[0]
     n = len(labels)
-    for i in b_pos:
-        lab = labels[i]
-        i_lab = lab + 1
-        j = i + 1
-        while j < n and labels[j] == i_lab and sent[j] == sent[i]:
-            j += 1
-        r = tok["row"][i]
-        s_char, e_char = int(tok["start"][i]), int(tok["end"][j - 1])
-        rows.append(int(r))
-        sidx.append(int(tok["sent_in_turn"][i]))
-        starts.append(s_char)
-        ends.append(e_char)
-        surfaces.append(texts[r][s_char:e_char])
-        types.append((lab - 1) // 2)
-        scores.append(round(float(np.mean(margins[i:j])), spec.SCORE_NDIGITS))
+    margins = em[np.arange(n), labels] - em[:, _O]
+    is_b = (labels > 0) & (labels % 2 == 1)  # B-* ids are odd (1,3,5,7)
+    b_pos = np.nonzero(is_b)[0]
+    if not len(b_pos):
+        return {
+            "row": np.zeros(0, dtype=np.int64),
+            "sent_in_turn": np.zeros(0, dtype=np.int64),
+            "start": np.zeros(0, dtype=np.int64),
+            "end": np.zeros(0, dtype=np.int64),
+            "surface": np.zeros(0, dtype=object),
+            "type_code": np.zeros(0, dtype=np.int8),
+            "score": np.zeros(0, dtype=np.float64),
+            "tok_sent": np.zeros(0, dtype=np.int64),
+        }
+    # position k continues the run of k-1 iff its label is the matching
+    # I-label (B odd -> +1, I even -> same; O prev gives expected 0,
+    # excluded by labels>0) and the sentence is unchanged
+    expected = labels[:-1] + (labels[:-1] % 2)
+    cont = np.empty(n, dtype=bool)
+    cont[0] = False
+    cont[1:] = (labels[1:] > 0) & (labels[1:] == expected) & (
+        sent[1:] == sent[:-1]
+    )
+    # run end j per B = first non-continuation position after it
+    stops = np.flatnonzero(~cont)
+    stops = np.append(stops, n)
+    j = stops[np.searchsorted(stops, b_pos, side="right")]
+    rows = tok["row"][b_pos]
+    starts = tok["start"][b_pos]
+    ends = tok["end"][j - 1]
+    # per-run margin mean: reduceat over [b, j) pairs (odd slots are the
+    # discarded gaps; the pad makes j == n a valid index). For runs of
+    # <8 tokens numpy's pairwise mean degenerates to the same sequential
+    # sum, so this is bit-identical to np.mean; longer runs (rare) fall
+    # back to np.mean itself to keep the binding score semantics exact.
+    idx = np.empty(2 * len(b_pos), dtype=np.intp)
+    idx[0::2] = b_pos
+    idx[1::2] = j
+    sums = np.add.reduceat(np.append(margins, 0.0), idx)[0::2]
+    lens = j - b_pos
+    means = sums / lens
+    for t in np.flatnonzero(lens >= 8):
+        means[t] = np.mean(margins[b_pos[t] : j[t]])
+    nd = spec.SCORE_NDIGITS
     return {
-        "row": np.asarray(rows, dtype=np.int64),
-        "sent_in_turn": np.asarray(sidx, dtype=np.int64),
-        "start": np.asarray(starts, dtype=np.int64),
-        "end": np.asarray(ends, dtype=np.int64),
-        "surface": np.asarray(surfaces, dtype=object),
-        "type_code": np.asarray(types, dtype=np.int8),
-        "score": np.asarray(scores, dtype=np.float64),
-        "tok_sent": sent[b_pos] if len(b_pos) else np.zeros(0, dtype=np.int64),
+        "row": rows.astype(np.int64, copy=False),
+        "sent_in_turn": tok["sent_in_turn"][b_pos].astype(np.int64, copy=False),
+        "start": starts.astype(np.int64, copy=False),
+        "end": ends.astype(np.int64, copy=False),
+        "surface": np.asarray(
+            [
+                texts[r][s:e]
+                for r, s, e in zip(rows.tolist(), starts.tolist(), ends.tolist())
+            ],
+            dtype=object,
+        ),
+        "type_code": ((labels[b_pos] - 1) // 2).astype(np.int8),
+        # python round IS the binding score semantics (np.round differs
+        # on scaled-halfway representations)
+        "score": np.asarray(
+            [round(v, nd) for v in means.tolist()], dtype=np.float64
+        ),
+        "tok_sent": sent[b_pos],
     }
 
 
@@ -424,7 +485,18 @@ def nlp_batch(
         empty["score"] = np.zeros(0, dtype=np.float64)
         empty["ctx"] = np.zeros((0, spec.EMB_DIM), dtype=np.float64)
         return empty, np.zeros(0, dtype=np.int8)
-    uniq, inv = np.unique(tok["text"], return_inverse=True)
+    # dict intern instead of np.unique: O(n) hashing beats the object-array
+    # argsort, and every per-unique attr is a pure function of the token
+    # string, so first-occurrence order is as good as sorted order
+    text_list = tok["text"].tolist()
+    intern: dict[str, int] = {}
+    sd = intern.setdefault
+    inv = np.fromiter(
+        (sd(t, len(intern)) for t in text_list),
+        dtype=np.int64,
+        count=len(text_list),
+    )
+    uniq = np.asarray(list(intern), dtype=object)
     attrs = unique_token_attrs(uniq)
     h_lower_tok = attrs["h_lower"][inv]
     g_code, g_isb = gaz_tag_batch(tok, h_lower_tok, gaz)
