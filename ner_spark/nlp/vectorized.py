@@ -211,6 +211,15 @@ _GAZ_IDX = {
     for t, typ in enumerate(spec.NER_TYPES)
     for bi in ("B", "I")
 }
+# same table as a (2, n_types) array for vectorized gather: row 0 = "I",
+# row 1 = "B" (indexed by the boolean is-B flag)
+_GAZ_IDX_ARR = np.asarray(
+    [
+        [_GAZ_IDX[("I", t)] for t in range(len(spec.NER_TYPES))],
+        [_GAZ_IDX[("B", t)] for t in range(len(spec.NER_TYPES))],
+    ],
+    dtype=np.int64,
+)
 _O = spec.LABEL_IDX["O"]
 
 
@@ -254,13 +263,9 @@ def emissions_for_batch(
     em += WT[vfeat_index(spec.T_NEXT, next_h)]
     gm = gaz_code >= 0
     if gm.any():
-        gidx = np.array(
-            [
-                _GAZ_IDX[("B" if b else "I", c)]
-                for b, c in zip(gaz_bi[gm], gaz_code[gm])
-            ],
-            dtype=np.int64,
-        )
+        gidx = _GAZ_IDX_ARR[
+            gaz_bi[gm].astype(np.int64), gaz_code[gm].astype(np.int64)
+        ]
         em[gm] += WT[gidx]
     return em
 
@@ -485,18 +490,14 @@ def nlp_batch(
         empty["score"] = np.zeros(0, dtype=np.float64)
         empty["ctx"] = np.zeros((0, spec.EMB_DIM), dtype=np.float64)
         return empty, np.zeros(0, dtype=np.int8)
-    # dict intern instead of np.unique: O(n) hashing beats the object-array
-    # argsort, and every per-unique attr is a pure function of the token
-    # string, so first-occurrence order is as good as sorted order
-    text_list = tok["text"].tolist()
-    intern: dict[str, int] = {}
-    sd = intern.setdefault
-    inv = np.fromiter(
-        (sd(t, len(intern)) for t in text_list),
-        dtype=np.int64,
-        count=len(text_list),
-    )
-    uniq = np.asarray(list(intern), dtype=object)
+    # hash-table factorize instead of np.unique: O(n) hashing beats the
+    # object-array argsort, and every per-unique attr is a pure function
+    # of the token string, so first-occurrence order is as good as sorted
+    import pandas as pd
+
+    inv, uniq = pd.factorize(tok["text"], use_na_sentinel=False)
+    inv = inv.astype(np.int64, copy=False)
+    uniq = np.asarray(uniq, dtype=object)
     attrs = unique_token_attrs(uniq)
     h_lower_tok = attrs["h_lower"][inv]
     g_code, g_isb = gaz_tag_batch(tok, h_lower_tok, gaz)
