@@ -48,10 +48,24 @@ def _pairs_with_text(links: DataFrame, transcripts: DataFrame) -> DataFrame:
         )
         .where(F.col("b_entity").isNotNull())
     )
-    return pairs.join(
-        transcripts.select("conv_id", "turn_idx", "text"),
-        on=["conv_id", "turn_idx"],
-        how="inner",
+    # the between-mention span is sliced JVM-side: substring counts code
+    # points exactly like python slicing (UTF8String chars == str indices,
+    # and len<=0 yields "" just like text[end:b_start] when the mentions
+    # touch), so the Arrow boundary ships a few chars per pair instead of
+    # the full turn text
+    return (
+        pairs.join(
+            transcripts.select("conv_id", "turn_idx", "text"),
+            on=["conv_id", "turn_idx"],
+            how="inner",
+        )
+        .withColumn(
+            "between",
+            F.col("text").substr(
+                F.col("end") + F.lit(1), F.col("b_start") - F.col("end")
+            ),
+        )
+        .drop("text")
     )
 
 
@@ -60,21 +74,13 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
 
     def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # variable-bound slicing has no pandas primitive, but strip /
+            # the between slice arrived pre-cut from the JVM; strip /
             # casefold / phrase lookup vectorize over the batch; python
             # round stays per-value because python-round IS the binding
             # confidence semantics (np.round differs on scaled-halfway
             # representations)
-            between = pd.Series(
-                [
-                    t[a:b]
-                    for t, a, b in zip(pdf["text"], pdf["end"], pdf["b_start"])
-                ],
-                index=pdf.index,
-                dtype=object,
-            )
             rel = (
-                between.str.strip()
+                pdf["between"].str.strip()
                 .str.casefold()
                 .map(spec.REL_PHRASES)
                 .where(pdf["sent_idx"].eq(pdf["b_sent_idx"]))
