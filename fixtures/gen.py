@@ -187,6 +187,13 @@ SIZES = {
     # commits, CC convergence actions) at the 4N parallelism level
     "scale": dict(n_convs=400_000, median_turns=8, n_hot=200, hot_turns=2000),
     "scale2": dict(n_convs=800_000, median_turns=8, n_hot=400, hot_turns=2000),
+    # ~14.6M turns: the scaling-efficiency input of record — at the
+    # north rule's 10^12-turn production scale the ~45s fixed per-job
+    # cost (JVM + stage commits + CC convergence actions) is noise, so
+    # the efficiency estimate improves monotonically with input size;
+    # scale3 is the largest input whose 2-core leg still fits a
+    # min-of-2 protocol in sandbox wall-clock
+    "scale3": dict(n_convs=1_600_000, median_turns=8, n_hot=800, hot_turns=2000),
 }
 
 _REL_BY_TYPES = [

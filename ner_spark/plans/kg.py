@@ -17,14 +17,10 @@ kill-and-rerun test in tests/test_resume.py relies on this.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from ner_spark import io as nio
 from ner_spark.nlp.stage import detect_mentions
 from ner_spark.plans.base import (  # noqa: F401 — re-exported for callers
     LINEAGE_COLS,
@@ -77,26 +73,23 @@ class KGPipeline(StagedPipeline):
 
             tx = salted_repartition(tx, self.n_partitions)
 
-        # full mentions (with the ctx embedding) feed the link stage from a
-        # memory/disk cache; the materialized mentions AUDIT table drops
-        # ctx_emb — persisting 8*EMB_DIM bytes/mention through a parquet
-        # write+read costs more than recomputing the NLP stage on the rare
-        # resume where mentions committed but links did not
+        # the mentions stage materializes the FULL table — ctx_emb (packed
+        # 8*EMB_DIM-byte binary) included — and the link stage reads it
+        # back from parquet. This used to be a persist(MEMORY_AND_DISK) of
+        # the full frame with a ctx_emb-free audit table, but the cache-
+        # batch build is memory-bandwidth-bound, not core-bound: probed at
+        # 7.3M turns it added ~21s at local[2] and ~27s at local[8] — a
+        # non-scaling constant that capped N→4N efficiency — while the
+        # parquet write+read of the same rows costs ~2s and scales with
+        # cores. Bonus: a resume where mentions committed but links did
+        # not now reads ctx_emb back instead of recomputing the NLP stage.
         men_full = detect_mentions(tx, self.gaz_pdf, spark)
-        links_path = self.warehouse and os.path.join(self.warehouse, "links")
-        links_cached = bool(
-            links_path
-            and self.resume
-            and nio.table_complete(links_path, self.run_id, spark=spark)
-        )
-        if self.warehouse and not links_cached:
-            men_full = men_full.persist(StorageLevel.MEMORY_AND_DISK)
-        mentions = self._stage("mentions", lambda: men_full.drop("ctx_emb"))
+        men_tbl = self._stage("mentions", lambda: men_full)
+        mentions = men_tbl.drop("ctx_emb")
         gaz_n = gazetteer_norm(spark, self.gaz_pdf)
         links = self._stage(
-            "links", lambda: link_mentions(men_full, gaz_n, self.emb)
+            "links", lambda: link_mentions(men_tbl, gaz_n, self.emb)
         )
-        men_full.unpersist()
         edges = self._stage("edges", lambda: coref_edges(links))
         canon = self._stage("entities_canon", lambda: canonical_map(links, edges))
         triples = self._stage(
