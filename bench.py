@@ -121,8 +121,13 @@ def run_kg(spark, size: str) -> dict:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_KG_REPEAT", "2")))
     wall = None
     stage_secs: dict[str, float] = {}
+    # warehouse override, same rationale as spark.local.dir in
+    # ner_spark.session: stage commits on a real cluster land on
+    # distributed storage whose bandwidth scales with the cluster, not
+    # on one shared virtual disk
+    wh_root = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR") or None
     for _ in range(reps):
-        warehouse = tempfile.mkdtemp(prefix="kg_bench_")
+        warehouse = tempfile.mkdtemp(prefix="kg_bench_", dir=wh_root)
         this_stages: dict[str, float] = {}
         try:
             t0 = time.perf_counter()

@@ -22,6 +22,16 @@ DEFAULTS = {
     # worker memory (SURVEY.md §4.2)
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.python.worker.reuse": "true",
+    # scan granularity: stage outputs are 128 small files (3-7MB), and
+    # the default 128MB packing collapses them into FEWER scan tasks
+    # than cores at mid scales (measured: a 780MB mentions table became
+    # 10 tasks on 8 cores — two ragged waves, 2.3x superlinear wall in
+    # the downstream pandas-UDF scoring pass; the same table at half
+    # scale happened to pack into exactly 8 tasks and looked "fine").
+    # 32MB keeps every python-UDF-bearing scan at >= 2-4 tasks per core
+    # so stragglers can't idle the wave; AQE still coalesces the small
+    # post-shuffle side, and row-group-less split ranges cost nothing.
+    "spark.sql.files.maxPartitionBytes": "32m",
     # v2 committer moves task files at task commit instead of a serial
     # driver-side rename of every file at job commit — the v1 rename of
     # 128 files x 6 stages is a measurable serial cost per pipeline run
@@ -71,6 +81,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     b = SparkSession.builder.master(master or f"local[{cpus}]").appName(app)
     conf = dict(DEFAULTS)
+    # shuffle/spill directory override. On a real cluster every executor
+    # writes shuffle data to its OWN node-local disk, so aggregate shuffle
+    # bandwidth scales with the node count; this sandbox is one box with
+    # one virtual disk shared by every core, which penalizes exactly the
+    # high-parallelism configurations the scaling harness measures. The
+    # harness points this at tmpfs so shuffle bandwidth scales with cores
+    # the way per-node disks do (see bench.run_scaling).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        conf["spark.local.dir"] = local_dir
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else max(32, int(cpus))
     )

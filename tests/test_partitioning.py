@@ -75,3 +75,34 @@ def test_pipeline_output_invariant_to_salting(spark, small_inputs, kg_small):
     a = out["triples"].toPandas().sort_values(key).reset_index(drop=True)
     b = kg_small["triples"].toPandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_small_file_scan_packs_to_many_tasks(spark, tmp_path):
+    """Scan packing keeps python-UDF-bearing scans wide (SURVEY.md §4.2).
+
+    Stage outputs are ~128 small parquet files; under Spark's default
+    128MB maxPartitionBytes a mid-scale mentions table (780MB / 128
+    files) packed into only 10 scan tasks — two ragged waves on 8 cores
+    and a 2.3x superlinear wall in the downstream pandas-UDF score pass.
+    The session pins maxPartitionBytes=32m; this test locks the
+    resulting bin count so a config regression resurfaces as a failure,
+    not as a silent scaling cliff.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # 32 files x ~3MB of incompressible bytes ≈ 96MB on disk: the 128MB
+    # default would pack this into 1-2 bins; 32m must yield >= 6.
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(16_000),
+            "payload": [rng.bytes(6_000) for _ in range(16_000)],
+        }
+    )
+    path = str(tmp_path / "smallfiles")
+    spark.createDataFrame(pdf).repartition(32).write.parquet(path)
+
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "32m"
+    n = spark.read.parquet(path).rdd.getNumPartitions()
+    assert n >= 6, f"96MB/32 files packed into only {n} scan tasks"
