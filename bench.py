@@ -543,6 +543,16 @@ def main() -> None:
         "restart_sec": restart_sec,
         "master": a.master or f"local[{CPUS}]",
     }
+    # attach the last recorded north-rule scaling summary (written by
+    # `python bench.py --scaling`, ~35 min at scale3) so the per-round
+    # JSON carries the N-vs-4N evidence without re-running the ladder
+    scaling_json = os.path.join(_ROOT, "BENCH", "scaling.json")
+    if os.path.exists(scaling_json):
+        try:
+            with open(scaling_json) as f:
+                result["scaling"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     line = json.dumps(result)
     if a.json_out:
         with open(a.json_out, "w") as f:
@@ -650,8 +660,14 @@ def run_scaling() -> None:
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
         "repeats": repeat,
+        "size": size,
+        "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
+    # machine-readable artifact; the default bench attaches this to its
+    # JSON line so each round's BENCH_r{N}.json carries the evidence
+    with open(os.path.join(_ROOT, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     md = os.path.join(_ROOT, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
         f.write(
