@@ -36,6 +36,7 @@ import ner_spark.queries_text  # noqa: F401
 import ner_spark.queries_kg  # noqa: F401
 import ner_spark.queries_graph  # noqa: F401
 import ner_spark.queries_multimodal  # noqa: F401
+import ner_spark.queries_iceberg  # noqa: F401
 import ner_spark.goldens  # noqa: F401  (golden-snapshot oracles, after all registers)
 from ner_spark.registry import ORACLE_SQL, QUERIES
 

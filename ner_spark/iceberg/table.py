@@ -1,0 +1,968 @@
+"""Iceberg v2 table metadata over parquet data files, stdlib + pyarrow.
+
+Implements the Iceberg table spec (format-version 2) commit protocol in
+the HadoopTables filesystem layout — the catalog-free layout every
+Iceberg client supports for a plain ``warehouse/table`` path:
+
+    <location>/metadata/version-hint.text      → current metadata version
+    <location>/metadata/vN.metadata.json       → table metadata
+    <location>/metadata/snap-<id>-*.avro       → manifest list (Avro)
+    <location>/metadata/m-<uuid>.avro          → manifest file (Avro)
+    <location>/data/seq=N/...parquet           → immutable data files
+
+Spec structures written (field ids per the spec's Avro schemas):
+manifest_file (500-519), manifest_entry (0-4) + data_file (100-140,
+bounds as the spec's ``k12x``/``v12x`` array-map with logicalType=map),
+single-value binary bounds (little-endian per "Appendix D: Single-value
+serialization"). Snapshot lineage (parent-snapshot-id, sequence
+numbers), snapshot summaries, snapshot-log and metadata-log are all
+maintained, so time travel and incremental consumption work from the
+metadata alone.
+
+Scans resolve the manifest chain and apply three pruning layers exactly
+like a real Iceberg reader: (1) partition pruning against the identity
+partition tuple, (2) manifest-level partition-summary pruning, (3) data
+file min/max bound pruning from the parquet footers captured at commit
+time. The returned file list feeds ``spark.read.parquet`` — at cluster
+scale the same listing is what an Iceberg DSv2 source hands Spark as its
+file index.
+
+Why not the real Iceberg runtime: no jars, no network in this sandbox
+(SURVEY.md §0); this module is the honest alternative — the on-disk
+format IS the public one, verified by round-tripping every Avro file
+through the JVM's bundled org.apache.avro (tests/test_iceberg_format.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from ner_spark.iceberg import avro_io
+
+# deterministic "current time"/uuid seeds are injectable for tests
+_NOW_MS = lambda: int(time.time() * 1000)  # noqa: E731
+
+
+# ------------------------------------------------------------- schema maps
+
+_SPARK_TO_ICEBERG = {
+    "string": "string",
+    "int": "int",
+    "integer": "int",
+    "bigint": "long",
+    "long": "long",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+_ICEBERG_TO_SPARK = {
+    "string": "string",
+    "int": "int",
+    "long": "bigint",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def schema_from_spark(spark_schema) -> tuple[dict, int]:
+    """Spark StructType → Iceberg schema struct (fresh field ids 1..n).
+
+    Nested arrays/structs/maps get element/key/value ids too (the spec
+    requires every nested type to carry an id). Returns (schema_struct,
+    last_column_id).
+    """
+    next_id = [0]
+
+    def _fid() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    def _conv(dt) -> object:
+        name = dt.typeName()
+        if name == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": _fid(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": _conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        if name == "array":
+            eid = _fid()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": _conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if name == "map":
+            kid, vid = _fid(), _fid()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": _conv(dt.keyType),
+                "value-id": vid,
+                "value": _conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if name == "decimal":
+            return f"decimal({dt.precision}, {dt.scale})"
+        try:
+            return _SPARK_TO_ICEBERG[name]
+        except KeyError:
+            raise NotImplementedError(f"spark type {name!r}") from None
+
+    # top-level struct: assign field ids breadth-first like Iceberg's
+    # fresh-schema assignment (parents before children is not required by
+    # the spec — ids only need to be unique — depth-first is fine)
+    struct = _conv(spark_schema)
+    return struct, next_id[0]
+
+
+def schema_to_spark_ddl(schema_struct: dict) -> str:
+    """Iceberg schema struct → Spark DDL string (for empty-table reads)."""
+
+    def _conv(t) -> str:
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                return t
+            return _ICEBERG_TO_SPARK[t]
+        if t["type"] == "struct":
+            inner = ", ".join(
+                f"{f['name']}: {_conv(f['type'])}" for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        if t["type"] == "list":
+            return f"array<{_conv(t['element'])}>"
+        if t["type"] == "map":
+            return f"map<{_conv(t['key'])}, {_conv(t['value'])}>"
+        raise NotImplementedError(str(t))
+
+    return ", ".join(
+        f"{f['name']} {_conv(f['type'])}" for f in schema_struct["fields"]
+    )
+
+
+# ------------------------------------------ single-value (bounds) encoding
+
+def encode_single(iceberg_type: str, v) -> bytes | None:
+    """Appendix D single-value serialization (the bounds byte format)."""
+    if v is None:
+        return None
+    if iceberg_type == "int" or iceberg_type == "date":
+        return struct.pack("<i", int(v))
+    if iceberg_type == "long":
+        return struct.pack("<q", int(v))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(v))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(v))
+    if iceberg_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if iceberg_type == "string":
+        return str(v).encode("utf-8")
+    if iceberg_type in ("timestamp", "timestamptz"):
+        return struct.pack("<q", int(v))  # micros from epoch
+    if iceberg_type == "binary":
+        return bytes(v)
+    return None  # unsupported bound type → omit (bounds are optional)
+
+
+_BOUND_TRUNC = 16  # write.metadata.metrics default: truncate(16)
+
+
+def truncate_lower(iceberg_type: str, v):
+    """Lower bounds may be prefix-truncated (prefix ≤ every value it
+    prefixes, in UTF-8/code-point order — which agree)."""
+    if iceberg_type == "string" and isinstance(v, str) and len(v) > _BOUND_TRUNC:
+        return v[:_BOUND_TRUNC]
+    if iceberg_type == "binary" and len(v) > _BOUND_TRUNC:
+        return bytes(v)[:_BOUND_TRUNC]
+    return v
+
+
+def truncate_upper(iceberg_type: str, v):
+    """Upper bounds are truncated by incrementing the last unit that can
+    be incremented; if none can, the bound is dropped (None) — both are
+    valid upper bounds per the spec."""
+    if iceberg_type == "string" and isinstance(v, str) and len(v) > _BOUND_TRUNC:
+        p = v[:_BOUND_TRUNC]
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i]) + 1
+            if 0xD800 <= c <= 0xDFFF:  # surrogates can't occur in text;
+                c = 0xE000  # the next real code point is still an upper bound
+            if c <= 0x10FFFF:
+                return p[:i] + chr(c)
+        return None
+    if iceberg_type == "binary" and len(v) > _BOUND_TRUNC:
+        p = bytearray(bytes(v)[:_BOUND_TRUNC])
+        for i in range(len(p) - 1, -1, -1):
+            if p[i] < 0xFF:
+                p[i] += 1
+                return bytes(p[: i + 1])
+        return None
+    return v
+
+
+def decode_single(iceberg_type: str, b: bytes | None):
+    if b is None:
+        return None
+    if iceberg_type == "int" or iceberg_type == "date":
+        return struct.unpack("<i", b)[0]
+    if iceberg_type == "long" or iceberg_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", b)[0]
+    if iceberg_type == "boolean":
+        return b == b"\x01"
+    if iceberg_type == "string":
+        return b.decode("utf-8")
+    if iceberg_type == "binary":
+        return b
+    return None
+
+
+# ----------------------------------------------------------- avro schemas
+
+def _opt(t) -> list:
+    return ["null", t]
+
+
+def _bounds_map(map_name: str, kid: int, vid: int) -> dict:
+    """The spec's map<int, bytes> as an Avro array of k/v records."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": map_name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+def _partition_avro_fields(spec_fields: list[dict], schema_struct: dict) -> list:
+    """Avro fields for the r102 partition record (identity transforms)."""
+    by_id = {f["id"]: f for f in schema_struct["fields"]}
+    out = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        t = src["type"]
+        avro_t = {
+            "int": "int", "date": {"type": "int", "logicalType": "date"},
+            "long": "long", "string": "string", "double": "double",
+            "float": "float", "boolean": "boolean", "binary": "bytes",
+            "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+            "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+        }.get(t if isinstance(t, str) else "")
+        if avro_t is None:
+            raise NotImplementedError(f"partition source type {t!r}")
+        out.append(
+            {
+                "name": pf["name"],
+                "type": _opt(avro_t),
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return out
+
+
+def manifest_entry_schema(spec_fields: list[dict], schema_struct: dict) -> dict:
+    """Avro schema for manifest_entry (v2), field-ids per the spec."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": _partition_avro_fields(spec_fields, schema_struct),
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": _opt(_bounds_map("k126_v127", 126, 127)),
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _opt(_bounds_map("k129_v130", 129, 130)),
+                "default": None,
+                "field-id": 128,
+            },
+            {
+                "name": "split_offsets",
+                "type": _opt({"type": "array", "items": "long", "element-id": 133}),
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "sort_order_id",
+                "type": _opt("int"),
+                "default": None,
+                "field-id": 140,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None,
+             "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "default": None,
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"),
+             "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": _opt(
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean",
+                             "field-id": 509},
+                            {"name": "contains_nan", "type": _opt("boolean"),
+                             "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": _opt("bytes"),
+                             "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": _opt("bytes"),
+                             "default": None, "field-id": 511},
+                        ],
+                    },
+                }
+            ),
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+# --------------------------------------------------------------- data files
+
+@dataclass
+class DataFile:
+    """One immutable parquet data file + the stats Iceberg tracks for it."""
+
+    path: str
+    record_count: int
+    file_size: int
+    partition: dict = field(default_factory=dict)  # identity values by name
+    lower_bounds: dict = field(default_factory=dict)  # field name → raw value
+    upper_bounds: dict = field(default_factory=dict)
+    split_offsets: list[int] | None = None
+
+
+def collect_parquet_stats(paths: list[str], partition_values=None) -> list[DataFile]:
+    """Read parquet footers (pyarrow) → DataFile stats, no data scan.
+
+    ``partition_values``: optional callable path→dict for identity
+    partition tuples (hive-style dirs are parsed by the caller).
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        lower: dict = {}
+        upper: dict = {}
+        offsets: list[int] = []
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            offsets.append(g.column(0).file_offset)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = names[ci]
+                if "." in name:  # nested leaves aren't top-level bounds
+                    continue
+                mn, mx = st.min, st.max
+                if name not in lower or _lt(mn, lower[name]):
+                    lower[name] = mn
+                if name not in upper or _lt(upper[name], mx):
+                    upper[name] = mx
+        out.append(
+            DataFile(
+                path=p,
+                record_count=md.num_rows,
+                file_size=os.path.getsize(p),
+                partition=(partition_values(p) if partition_values else {}),
+                lower_bounds=lower,
+                upper_bounds=upper,
+                split_offsets=offsets or None,
+            )
+        )
+    return out
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+# ------------------------------------------------------------------ table
+
+class IcebergLocalTable:
+    """A HadoopTables-layout Iceberg v2 table rooted at ``location``."""
+
+    def __init__(self, location: str):
+        self.location = location.rstrip("/")
+        self.meta_dir = os.path.join(self.location, "metadata")
+
+    # ---- metadata plumbing
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._hint_path())
+
+    def current_version(self) -> int:
+        with open(self._hint_path()) as f:
+            return int(f.read().strip())
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def current_snapshot(self) -> dict | None:
+        md = self.metadata()
+        sid = md.get("current-snapshot-id", -1)
+        if sid in (-1, None):
+            return None
+        return next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots", []))
+
+    def _write_metadata(self, md: dict, version: int) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(md, f, indent=1)
+        os.replace(tmp, path)
+        # the version hint is the commit point (HadoopTables protocol):
+        # readers resolve it last, writers replace it atomically
+        hint_tmp = self._hint_path() + ".tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, self._hint_path())
+
+    # ---- DDL
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        spark_schema,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "IcebergLocalTable":
+        t = cls(location)
+        if t.exists():
+            raise FileExistsError(location)
+        struct, last_id = schema_from_spark(spark_schema)
+        struct["schema-id"] = 0
+        by_name = {f["name"]: f for f in struct["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by or []):
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        md = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": t.location,
+            "last-sequence-number": 0,
+            "last-updated-ms": _NOW_MS(),
+            "last-column-id": last_id,
+            "current-schema-id": 0,
+            "schemas": [struct | {"type": "struct"}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "write.format.default": "parquet",
+                **{k: str(v) for k, v in (properties or {}).items()},
+            },
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        t._write_metadata(md, 1)
+        return t
+
+    # ---- commits
+
+    def _schema_struct(self, md: dict) -> dict:
+        return next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+
+    def _spec_fields(self, md: dict) -> list[dict]:
+        return next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )["fields"]
+
+    def _write_manifest(
+        self,
+        md: dict,
+        files: list[DataFile],
+        snapshot_id: int,
+        seq: int,
+    ) -> dict:
+        """Write one manifest avro; return its manifest_file entry."""
+        struct = self._schema_struct(md)
+        spec_fields = self._spec_fields(md)
+        by_name = {f["name"]: f for f in struct["fields"]}
+        entry_schema = manifest_entry_schema(spec_fields, struct)
+
+        def _bounds(d: dict, upper: bool) -> list | None:
+            out = []
+            for name, v in d.items():
+                f = by_name.get(name)
+                if f is None or not isinstance(f["type"], str):
+                    continue
+                v = (truncate_upper if upper else truncate_lower)(f["type"], v)
+                if v is None:
+                    continue
+                enc = encode_single(f["type"], v)
+                if enc is not None:
+                    out.append({"key": f["id"], "value": enc})
+            return sorted(out, key=lambda r: r["key"]) or None
+
+        entries = []
+        for df in files:
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": df.path,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            pf["name"]: df.partition.get(pf["name"])
+                            for pf in spec_fields
+                        },
+                        "record_count": df.record_count,
+                        "file_size_in_bytes": df.file_size,
+                        "lower_bounds": _bounds(df.lower_bounds, upper=False),
+                        "upper_bounds": _bounds(df.upper_bounds, upper=True),
+                        "split_offsets": df.split_offsets,
+                        "sort_order_id": 0,
+                    },
+                }
+            )
+        mpath = os.path.join(self.meta_dir, f"m-{uuid.uuid4()}.avro")
+        length = avro_io.write_container(
+            mpath,
+            entry_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(struct | {"type": "struct"}),
+                "schema-id": str(md["current-schema-id"]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        # manifest-level partition summaries (field 507), in spec-field order
+        summaries = None
+        if spec_fields:
+            summaries = []
+            for pf in spec_fields:
+                src = by_name[pf["name"]]
+                vals = [f.partition.get(pf["name"]) for f in files]
+                non_null = [v for v in vals if v is not None]
+                lo = (
+                    encode_single(
+                        src["type"], truncate_lower(src["type"], min(non_null))
+                    )
+                    if non_null
+                    else None
+                )
+                hi_v = (
+                    truncate_upper(src["type"], max(non_null)) if non_null else None
+                )
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": lo,
+                        "upper_bound": (
+                            encode_single(src["type"], hi_v)
+                            if hi_v is not None
+                            else None
+                        ),
+                    }
+                )
+        return {
+            "manifest_path": mpath,
+            "manifest_length": length,
+            "partition_spec_id": md["default-spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(f.record_count for f in files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+        }
+
+    def commit(
+        self,
+        files: list[DataFile],
+        operation: str = "append",
+        summary: dict | None = None,
+    ) -> int:
+        """Commit a snapshot; returns the snapshot id.
+
+        ``append`` carries every manifest of the current snapshot forward;
+        ``overwrite`` replaces the table contents (prior manifests are
+        dropped from the new manifest list, prior data files stay on disk
+        for time travel until ``expire_snapshots``).
+        """
+        if operation not in ("append", "overwrite"):
+            raise ValueError(operation)
+        md = self.metadata()
+        version = self.current_version()
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = (seq << 20) | (uuid.uuid4().int & 0xFFFFF)
+        parent = md.get("current-snapshot-id", -1)
+
+        manifests: list[dict] = []
+        if operation == "append" and parent not in (-1, None):
+            cur = self.current_snapshot()
+            _, _, prior = avro_io.read_container(cur["manifest-list"])
+            manifests.extend(prior)
+        if files:
+            manifests.insert(0, self._write_manifest(md, files, snapshot_id, seq))
+
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+        )
+        avro_io.write_container(
+            ml_path,
+            MANIFEST_FILE_SCHEMA,
+            manifests,
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "parent-snapshot-id": str(parent),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+        now = _NOW_MS()
+        added_rows = sum(f.record_count for f in files)
+        total_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
+                         for m in manifests)
+        total_files = sum(m["added_files_count"] + m["existing_files_count"]
+                          for m in manifests)
+        snap = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": None if parent in (-1, None) else parent,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"],
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(len(files)),
+                "added-records": str(added_rows),
+                "total-records": str(total_rows),
+                "total-data-files": str(total_files),
+                **{k: str(v) for k, v in (summary or {}).items()},
+            },
+        }
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snapshot_id
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = now
+        md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        md["snapshot-log"].append({"timestamp-ms": now, "snapshot-id": snapshot_id})
+        md["metadata-log"].append(
+            {
+                "timestamp-ms": now,
+                "metadata-file": os.path.join(
+                    self.meta_dir, f"v{version}.metadata.json"
+                ),
+            }
+        )
+        self._write_metadata(md, version + 1)
+        return snapshot_id
+
+    # ---- scans
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> list[DataFile]:
+        """Resolve (snapshot, filters) → pruned list of data files.
+
+        ``filters``: [(col, op, value)] with op in =, <, <=, >, >=;
+        conjunctive. Pruning uses identity partition values, manifest
+        partition summaries, and file bounds — files that MAY match
+        survive, exactly Iceberg's contract (the engine re-applies the
+        residual predicate; Spark does on the parquet scan).
+        """
+        md = self.metadata()
+        snaps = md.get("snapshots", [])
+        if snapshot_id is None and as_of_ms is not None:
+            older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not older:
+                return []
+            snapshot_id = max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+        if snapshot_id is None:
+            snapshot_id = md.get("current-snapshot-id", -1)
+        if snapshot_id in (-1, None):
+            return []
+        snap = next(
+            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+        )
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found (expired or never existed)"
+            )
+        struct = self._schema_struct(md)
+        by_name = {f["name"]: f for f in struct["fields"]}
+        by_id = {f["id"]: f for f in struct["fields"]}
+        spec_fields = self._spec_fields(md)
+        spec_by_name = {pf["name"]: i for i, pf in enumerate(spec_fields)}
+        filters = filters or []
+
+        def _manifest_may_match(m: dict) -> bool:
+            parts = m.get("partitions")
+            if not parts:
+                return True
+            for col, op, val in filters:
+                i = spec_by_name.get(col)
+                if i is None or i >= len(parts):
+                    continue
+                s = parts[i]
+                t = by_name[col]["type"]
+                lo = decode_single(t, s.get("lower_bound"))
+                hi = decode_single(t, s.get("upper_bound"))
+                if not _range_may_match(op, val, lo, hi, s.get("contains_null")):
+                    return False
+            return True
+
+        def _file_may_match(entry: dict) -> bool:
+            dfile = entry["data_file"]
+            for col, op, val in filters:
+                # identity partition value is exact, not a range
+                if col in dfile["partition"] and dfile["partition"][col] is not None:
+                    if not _cmp(op, dfile["partition"][col], val):
+                        return False
+                    continue
+                f = by_name.get(col)
+                if f is None or not isinstance(f["type"], str):
+                    continue
+                lo = hi = None
+                for b in dfile.get("lower_bounds") or []:
+                    if b["key"] == f["id"]:
+                        lo = decode_single(f["type"], b["value"])
+                for b in dfile.get("upper_bounds") or []:
+                    if b["key"] == f["id"]:
+                        hi = decode_single(f["type"], b["value"])
+                if not _range_may_match(op, val, lo, hi, None):
+                    return False
+            return True
+
+        out: list[DataFile] = []
+        _, _, manifests = avro_io.read_container(snap["manifest-list"])
+        for m in manifests:
+            if not _manifest_may_match(m):
+                continue
+            _, _, entries = avro_io.read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                if not _file_may_match(e):
+                    continue
+                d = e["data_file"]
+                lower = {}
+                upper = {}
+                for b in d.get("lower_bounds") or []:
+                    f = by_id.get(b["key"])
+                    if f is not None and isinstance(f["type"], str):
+                        lower[f["name"]] = decode_single(f["type"], b["value"])
+                for b in d.get("upper_bounds") or []:
+                    f = by_id.get(b["key"])
+                    if f is not None and isinstance(f["type"], str):
+                        upper[f["name"]] = decode_single(f["type"], b["value"])
+                out.append(
+                    DataFile(
+                        path=d["file_path"],
+                        record_count=d["record_count"],
+                        file_size=d["file_size_in_bytes"],
+                        partition=dict(d["partition"]),
+                        lower_bounds=lower,
+                        upper_bounds=upper,
+                        split_offsets=d.get("split_offsets"),
+                    )
+                )
+        return out
+
+    def spark_ddl(self) -> str:
+        return schema_to_spark_ddl(self._schema_struct(self.metadata()))
+
+    # ---- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots; delete data
+        files referenced ONLY by expired snapshots. Returns deleted paths.
+        """
+        md = self.metadata()
+        snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+        if len(snaps) <= keep_last:
+            return []
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+
+        def _files_of(snap_list):
+            paths = set()
+            for s in snap_list:
+                _, _, manifests = avro_io.read_container(s["manifest-list"])
+                for m in manifests:
+                    _, _, entries = avro_io.read_container(m["manifest_path"])
+                    for e in entries:
+                        if e["status"] != 2:
+                            paths.add(e["data_file"]["file_path"])
+            return paths
+
+        live = _files_of(keep)
+        dead = _files_of(drop) - live
+        for p in sorted(dead):
+            if os.path.exists(p):
+                os.remove(p)
+        keep_ids = {s["snapshot-id"] for s in keep}
+        md["snapshots"] = [s for s in md["snapshots"] if s["snapshot-id"] in keep_ids]
+        md["snapshot-log"] = [
+            e for e in md["snapshot-log"] if e["snapshot-id"] in keep_ids
+        ]
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+        return sorted(dead)
+
+
+def _cmp(op: str, a, b) -> bool:
+    if op == "=":
+        return a == b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise ValueError(op)
+
+
+def _range_may_match(op: str, val, lo, hi, contains_null) -> bool:
+    """Could any value in [lo, hi] satisfy ``x op val``? Missing bounds
+    (None) are unknown → keep the file."""
+    if op == "=":
+        if lo is not None and _lt(val, lo):
+            return False
+        if hi is not None and _lt(hi, val):
+            return False
+        return True
+    if op in ("<", "<="):
+        if lo is None:
+            return True
+        return _lt(lo, val) or (op == "<=" and lo == val)
+    if op in (">", ">="):
+        if hi is None:
+            return True
+        return _lt(val, hi) or (op == ">=" and hi == val)
+    raise ValueError(op)

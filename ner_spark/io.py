@@ -2,12 +2,19 @@
 
 The production target is Iceberg (BASELINE.json north_rule: "over Iceberg
 tables"), but no Iceberg runtime jars exist in this sandbox and there is no
-network to fetch them, so the layer is abstracted: ``fmt='parquet'`` (sandbox
-default) writes partitioned parquet + a JSON manifest that supplies the
-snapshot/commit bookkeeping Iceberg would give us (idempotent overwrite,
-resume markers — SURVEY.md §4.5); ``fmt='iceberg'`` uses ``writeTo`` /
-``spark.table`` and expects ``--packages org.apache.iceberg:...`` + catalog
-conf on the cluster. Never import Iceberg classes directly.
+network to fetch them, so the layer is abstracted over three formats:
+
+- ``fmt='parquet'`` (sandbox default): partitioned parquet + a JSON
+  manifest that supplies the snapshot/commit bookkeeping Iceberg would
+  give us (idempotent overwrite, resume markers — SURVEY.md §4.5).
+- ``fmt='iceberg-local'``: the REAL Iceberg v2 table format written by
+  ``ner_spark.iceberg`` (pure-python metadata: Avro manifests/manifest
+  lists, vN.metadata.json, HadoopTables version-hint commit protocol) —
+  snapshot lineage, time travel, file-level min/max + partition pruning,
+  snapshot expiry, all readable by any external Iceberg client.
+- ``fmt='iceberg'``: the catalog path — ``writeTo`` / ``spark.table``;
+  expects ``--packages org.apache.iceberg:...`` + catalog conf on the
+  cluster. Never import Iceberg classes directly.
 """
 
 from __future__ import annotations
@@ -28,6 +35,10 @@ def _manifest_path(path: str) -> str:
 def read_table(spark: SparkSession, path_or_name: str, fmt: str = FMT) -> DataFrame:
     if fmt == "iceberg":
         return spark.table(path_or_name)
+    if fmt == "iceberg-local":
+        from ner_spark.iceberg.spark_io import read_iceberg
+
+        return read_iceberg(spark, path_or_name)
     return spark.read.parquet(path_or_name)
 
 
@@ -50,6 +61,14 @@ def write_table(
         if partition_by:
             w = w.partitionedBy(*partition_by)
         w.createOrReplace()
+        return
+    if fmt == "iceberg-local":
+        from ner_spark.iceberg.spark_io import write_iceberg
+
+        write_iceberg(
+            df, path_or_name, partition_by=partition_by,
+            mode="overwrite", run_id=run_id, summary=meta,
+        )
         return
     w = df.write.mode("overwrite")
     if partition_by:
@@ -92,6 +111,16 @@ def table_complete(
             f"{path_or_name}.history ORDER BY made_current_at DESC LIMIT 1)"
         ).collect()
         return bool(rows) and rows[0]["run_id"] == run_id
+    if fmt == "iceberg-local":
+        from ner_spark.iceberg.table import IcebergLocalTable
+
+        t = IcebergLocalTable(path_or_name)
+        if not t.exists():
+            return False
+        snap = t.current_snapshot()
+        if snap is None:
+            return False
+        return run_id is None or snap["summary"].get("run_id") == run_id
     mp = _manifest_path(path_or_name)
     if not os.path.exists(mp):
         return False
@@ -191,6 +220,11 @@ def merge_upsert(
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})"
         )
+        return
+    if fmt == "iceberg-local":
+        from ner_spark.iceberg.spark_io import merge_upsert_iceberg
+
+        merge_upsert_iceberg(spark, target, delta, key, run_id=run_id)
         return
     import shutil
 

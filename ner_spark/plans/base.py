@@ -73,6 +73,7 @@ class StagedPipeline:
         warehouse: str | None = None,
         run_id: str = "r0",
         resume: bool = True,
+        fmt: str | None = None,
     ):
         from ner_spark.deploy import ensure_py_files
 
@@ -81,6 +82,10 @@ class StagedPipeline:
         self.warehouse = warehouse
         self.run_id = run_id
         self.resume = resume
+        # table format for stage commits: 'parquet' (JSON-manifest
+        # protocol), 'iceberg-local' (real Iceberg v2 metadata,
+        # ner_spark.iceberg), or 'iceberg' (catalog, cluster-only)
+        self.fmt = fmt or nio.FMT
         self.lineage: list[pd.DataFrame] = []
         # wall seconds per stage (build+commit+readback; resume hits cost
         # only the readback) — bench.py surfaces this per-stage breakdown
@@ -96,13 +101,17 @@ class StagedPipeline:
             return build()
         t0 = time.perf_counter()
         path = os.path.join(self.warehouse, name)
-        if self.resume and nio.table_complete(path, self.run_id, spark=self.spark):
-            out = nio.read_table(self.spark, path)
+        if self.resume and nio.table_complete(
+            path, self.run_id, fmt=self.fmt, spark=self.spark
+        ):
+            out = nio.read_table(self.spark, path, fmt=self.fmt)
             self.stage_secs[name] = round(time.perf_counter() - t0, 3)
             return out
         df = build()
-        nio.write_table(df, path, partition_by=partition_by, run_id=self.run_id)
-        out = nio.read_table(self.spark, path)
+        nio.write_table(
+            df, path, fmt=self.fmt, partition_by=partition_by, run_id=self.run_id
+        )
+        out = nio.read_table(self.spark, path, fmt=self.fmt)
         self.stage_secs[name] = round(time.perf_counter() - t0, 3)
         # lineage is an audit artifact, not a dataflow dependency: compute
         # it on a side thread (Spark schedules the jobs concurrently) so

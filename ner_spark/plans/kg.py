@@ -47,8 +47,9 @@ class KGPipeline(StagedPipeline):
         run_id: str = "r0",
         resume: bool = True,
         n_partitions: int | None = None,
+        fmt: str | None = None,
     ):
-        super().__init__(spark, warehouse, run_id, resume)
+        super().__init__(spark, warehouse, run_id, resume, fmt=fmt)
         self.gaz_pdf = gazetteer_pdf
         self.emb = entity_embeddings
         self.n_partitions = n_partitions
@@ -132,10 +133,11 @@ def build_kg(
     resume: bool = True,
     n_partitions: int | None = None,
     stage_secs: dict | None = None,
+    fmt: str | None = None,
 ) -> dict[str, DataFrame]:
     p = KGPipeline(
         spark, gazetteer_pdf, entity_embeddings, warehouse, run_id, resume,
-        n_partitions,
+        n_partitions, fmt=fmt,
     )
     out = p.run(transcripts)
     if stage_secs is not None:  # per-stage wall breakdown (bench.py)

@@ -1,0 +1,158 @@
+"""Registry queries for the Iceberg v2 local table format (SURVEY.md §4.4).
+
+Both entries are end-to-end through the real on-disk format: Spark writes
+parquet, ``ner_spark.iceberg`` commits Avro manifests + metadata JSON, and
+the read side resolves the snapshot chain (with file-level pruning) before
+handing Spark the surviving file list. The DuckDB oracles recompute the
+same result straight from the source tables — a full differential over
+write → commit → time-travel/pruned read.
+
+Float-sum hygiene: aggregates are computed in DECIMAL(18,2) (exact) and
+cast to double at the end, so Spark's and DuckDB's summation orders cannot
+produce last-ulp hash mismatches.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ner_spark.registry import register, t
+
+
+def _dsum(col: str, alias: str):
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+@register(
+    "iceberg_snapshot_reads",
+    """
+    WITH s1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0),
+    s2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+    delta AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, 0.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 6 IN (0, 5)),
+    s3 AS (
+      SELECT o.o_orderkey,
+             CASE WHEN d.o_orderkey IS NOT NULL THEN 0.0
+                  ELSE o.o_totalprice END AS o_totalprice
+      FROM s2 o LEFT JOIN delta d ON o.o_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM delta WHERE o_orderkey % 6 = 5),
+    states AS (
+      SELECT 'snap1' AS snap, o_totalprice FROM s1
+      UNION ALL SELECT 'snap2', o_totalprice FROM s2
+      UNION ALL SELECT 'current', o_totalprice FROM s3)
+    SELECT snap, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           SUM(CASE WHEN o_totalprice = 0.0 THEN 1 ELSE 0 END) AS n_updated
+    FROM states GROUP BY snap
+    """,
+)
+def iceberg_snapshot_reads(spark, sf):
+    """Snapshot lineage + time travel through the real Iceberg v2 format.
+
+    Builds a 3-snapshot table from ``orders`` (overwrite → append → CoW
+    MERGE via io.merge_upsert's iceberg-local branch), then reads each
+    snapshot BACK THROUGH THE METADATA — snap1/snap2 by snapshot id after
+    two further commits have moved the table on, `current` through the
+    version-hint. The oracle reconstructs all three states relationally,
+    so any error in manifest bookkeeping (a dropped file, a double-counted
+    manifest, a merge that leaked pre-image rows) shows up as a value
+    mismatch, not just a row-count drift.
+
+    Scale shape: the merge is the same broadcast-delta CoW plan as
+    merge_upsert_orders; commits are O(files) metadata appends, reads are
+    O(manifests) + a parquet scan of only the live files.
+    """
+    from ner_spark.iceberg.spark_io import (
+        merge_upsert_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/orders_tbl"
+    key = F.col("o_orderkey")
+    s1 = write_iceberg(
+        o.where(key % 3 == 0), loc, partition_by=["o_orderstatus"], run_id="s1"
+    )
+    s2 = write_iceberg(o.where(key % 3 == 1), loc, mode="append", run_id="s2")
+    delta = o.where((key % 6).isin(0, 5)).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+    )
+    merge_upsert_iceberg(spark, loc, delta, "o_orderkey", run_id="s3")
+
+    parts = []
+    for label, sid in [("snap1", s1), ("snap2", s2), ("current", None)]:
+        parts.append(
+            read_iceberg(spark, loc, snapshot_id=sid)
+            .agg(
+                F.count("*").alias("n_rows"),
+                _dsum("o_totalprice", "sum_price"),
+                F.sum(
+                    F.when(F.col("o_totalprice") == 0.0, 1).otherwise(0)
+                ).alias("n_updated"),
+            )
+            .select(F.lit(label).alias("snap"), "n_rows", "sum_price",
+                    "n_updated")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "iceberg_pruned_scan",
+    """
+    SELECT l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30
+    GROUP BY l_linestatus
+    """,
+)
+def iceberg_pruned_scan(spark, sf):
+    """File-level pruning through Iceberg metadata: identity-partition
+    pruning on l_returnflag plus min/max bound pruning on l_quantity —
+    the scan planner hands Spark only files that MAY match and re-applies
+    the residual predicate row-wise (Iceberg's exact contract). The
+    oracle computes the same aggregate from the raw table, so a pruning
+    bug in either direction (skipping a live file / leaking a dead one)
+    is a value mismatch.
+
+    Scale shape: at 100 TB this metadata-level skip is the difference
+    between scanning one partition's worth of files and listing the whole
+    table; the same stats drive it here and on a real cluster.
+    """
+    from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_returnflag", "l_quantity",
+        "l_extendedprice",
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/lineitem_tbl"
+    write_iceberg(li, loc, partition_by=["l_returnflag"], run_id="p1")
+    pruned = read_iceberg(
+        spark,
+        loc,
+        filters=[("l_returnflag", "=", "R"), ("l_quantity", ">=", 30.0)],
+    )
+    return pruned.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        _dsum("l_extendedprice", "sum_price"),
+    )
