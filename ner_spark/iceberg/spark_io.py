@@ -104,7 +104,18 @@ def write_iceberg(
     w = df.write.mode("errorifexists")
     if spec_names:
         w = w.partitionBy(*spec_names)
-    w.parquet(commit_dir)
+    # Iceberg data files must use TIMESTAMP_MICROS (INT96 has no column
+    # stats → no bounds, no pruning); ner_spark.session sets this
+    # globally, but honor it for foreign sessions too (set-and-restore)
+    sess = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(conf_key, None)
+    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(commit_dir)
+    finally:
+        if prev is not None:
+            sess.conf.set(conf_key, prev)
 
     struct = t._schema_struct(md)
     types = {

@@ -31,6 +31,14 @@ Why not the real Iceberg runtime: no jars, no network in this sandbox
 (SURVEY.md §0); this module is the honest alternative — the on-disk
 format IS the public one, verified by round-tripping every Avro file
 through the JVM's bundled org.apache.avro (tests/test_iceberg_format.py).
+
+Concurrency contract: single writer per table (the stage-commit model of
+plans/base.py — one run owns one warehouse). Commits are atomic for
+READERS (metadata json + version hint land via os.replace, so a reader
+resolves either the old or the new snapshot, never a torn one), but two
+concurrent WRITERS can race the version counter; real HadoopTables has
+the same constraint and solves it with a lock manager or a catalog,
+which is exactly the `fmt='iceberg'` cluster path.
 """
 
 from __future__ import annotations
@@ -165,10 +173,21 @@ def schema_to_spark_ddl(schema_struct: dict) -> str:
 # ------------------------------------------ single-value (bounds) encoding
 
 def encode_single(iceberg_type: str, v) -> bytes | None:
-    """Appendix D single-value serialization (the bounds byte format)."""
+    """Appendix D single-value serialization (the bounds byte format).
+
+    Timestamps/dates accept the datetime/date objects pyarrow footer
+    stats hand back (converted to micros-from-epoch / days-from-epoch),
+    as well as already-converted ints.
+    """
+    import datetime as _dt
+
     if v is None:
         return None
-    if iceberg_type == "int" or iceberg_type == "date":
+    if iceberg_type == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return struct.pack("<i", int(v))
+    if iceberg_type == "int":
         return struct.pack("<i", int(v))
     if iceberg_type == "long":
         return struct.pack("<q", int(v))
@@ -181,6 +200,10 @@ def encode_single(iceberg_type: str, v) -> bytes | None:
     if iceberg_type == "string":
         return str(v).encode("utf-8")
     if iceberg_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:  # pyarrow stats are UTC-naive
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            v = int(v.timestamp() * 1_000_000)
         return struct.pack("<q", int(v))  # micros from epoch
     if iceberg_type == "binary":
         return bytes(v)
@@ -603,10 +626,17 @@ class IcebergLocalTable:
                 f = by_name.get(name)
                 if f is None or not isinstance(f["type"], str):
                     continue
-                v = (truncate_upper if upper else truncate_lower)(f["type"], v)
-                if v is None:
+                try:
+                    v = (truncate_upper if upper else truncate_lower)(
+                        f["type"], v
+                    )
+                    if v is None:
+                        continue
+                    enc = encode_single(f["type"], v)
+                except (TypeError, ValueError, OverflowError):
+                    # a bound we can't serialize is legal to omit; never
+                    # fail a commit over an optional statistic
                     continue
-                enc = encode_single(f["type"], v)
                 if enc is not None:
                     out.append({"key": f["id"], "value": enc})
             return sorted(out, key=lambda r: r["key"]) or None
@@ -818,7 +848,25 @@ class IcebergLocalTable:
         by_id = {f["id"]: f for f in struct["fields"]}
         spec_fields = self._spec_fields(md)
         spec_by_name = {pf["name"]: i for i, pf in enumerate(spec_fields)}
-        filters = filters or []
+        # normalize temporal filter values to the bounds' wire units
+        # (micros / days) so timestamp and date predicates prune files
+        import datetime as _dt
+
+        norm = []
+        for col, op, val in filters or []:
+            f = by_name.get(col)
+            t = f["type"] if f is not None and isinstance(f["type"], str) else None
+            if t in ("timestamp", "timestamptz") and isinstance(val, _dt.datetime):
+                v = val if val.tzinfo else val.replace(tzinfo=_dt.timezone.utc)
+                val = int(v.timestamp() * 1_000_000)
+            elif (
+                t == "date"
+                and isinstance(val, _dt.date)
+                and not isinstance(val, _dt.datetime)
+            ):
+                val = (val - _dt.date(1970, 1, 1)).days
+            norm.append((col, op, val))
+        filters = norm
 
         def _manifest_may_match(m: dict) -> bool:
             parts = m.get("partitions")

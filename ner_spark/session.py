@@ -32,6 +32,11 @@ DEFAULTS = {
     # so stragglers can't idle the wave; AQE still coalesces the small
     # post-shuffle side, and row-group-less split ranges cost nothing.
     "spark.sql.files.maxPartitionBytes": "32m",
+    # INT96 (the legacy default) carries NO parquet column statistics, so
+    # timestamp predicates can never skip row groups or (iceberg-local)
+    # files; TIMESTAMP_MICROS is the modern type every engine reads and
+    # is what Iceberg requires of its data files
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # v2 committer moves task files at task commit instead of a serial
     # driver-side rename of every file at job commit — the v1 rename of
     # 128 files x 6 stages is a measurable serial cost per pipeline run

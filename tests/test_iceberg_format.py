@@ -370,6 +370,40 @@ def test_kg_pipeline_on_iceberg_local(spark, small_inputs, tmp_path):
             assert t.current_version() == versions[s], s  # untouched
 
 
+def test_timestamp_and_date_columns(spark, tmp_path):
+    """Footer stats for temporal columns arrive as datetime/date objects;
+    commits must serialize them (micros/days) and datetime filters must
+    prune files — the input-hint transcript schema carries a ts column,
+    so this is the north rule's own shape."""
+    import datetime as dt
+
+    loc = str(tmp_path / "ts")
+    df = spark.range(0, 48).selectExpr(
+        "id",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS ts",
+        "date'2026-01-01' + cast(id as int) AS d",
+    ).repartitionByRange(4, "id")
+    write_iceberg(df, loc)
+    t = IcebergLocalTable(loc)
+    files = t.scan()
+    assert all("ts" in f.lower_bounds and "d" in f.lower_bounds for f in files)
+    # datetime / date predicates prune at the file level (range-clustered
+    # files → late-cut timestamps skip early files)
+    cut = dt.datetime(2026, 1, 2, 12, tzinfo=dt.timezone.utc)
+    pruned = t.scan(filters=[("ts", ">=", cut)])
+    assert 0 < len(pruned) < len(files)
+    got = read_iceberg(spark, loc, filters=[("ts", ">=", cut)])
+    want = read_iceberg(spark, loc).filter(
+        "ts >= timestamp'2026-01-02 12:00:00'"
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    dcut = dt.date(2026, 2, 1)
+    gd = read_iceberg(spark, loc, filters=[("d", ">=", dcut)])
+    assert sorted(r["id"] for r in gd.collect()) == list(range(31, 48))
+
+
 def test_empty_table_and_null_partitions(spark, tmp_path):
     loc = str(tmp_path / "nulls")
     df = spark.createDataFrame(
