@@ -95,6 +95,10 @@ def write_iceberg(
         t = IcebergLocalTable.create(
             location, df.schema, partition_by=partition_by, properties=properties
         )
+    else:
+        # union-evolve on write (new nullable columns / safe promotions);
+        # existing columns keep their field ids
+        t.evolve_schema(df.schema)
     md = t.metadata()
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
@@ -171,6 +175,108 @@ def read_iceberg(
                  ">": c > val, ">=": c >= val}[op]
             )
     return out
+
+
+def read_iceberg_incremental(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows ADDED after ``from_snapshot_id`` — the CDC-consumption read.
+
+    At 100 TB this is the difference between a downstream job scanning
+    the day's appends and re-scanning the table: O(new files), resolved
+    entirely from manifest metadata.
+    """
+    t = IcebergLocalTable(location)
+    files = t.scan_incremental(from_snapshot_id, to_snapshot_id)
+    ddl = t.spark_ddl()
+    if not files:
+        return spark.createDataFrame([], ddl)
+    cols = [f["name"] for f in t._schema_struct(t.metadata())["fields"]]
+    return (
+        spark.read.schema(ddl + ", seq bigint")
+        .option("basePath", _data_dir(location))
+        .parquet(*[f.path for f in files])
+        .select(*cols)
+    )
+
+
+def iceberg_sink(location: str, partition_by: list[str] | None = None):
+    """Exactly-once streaming sink: ``writeStream.foreachBatch(iceberg_sink(loc))``.
+
+    foreachBatch's contract is at-least-once with a stable batch_id on
+    replay; commits stamp ``streaming-batch-id`` into the snapshot
+    summary and a replayed batch at or below the last committed id is a
+    no-op — the same idempotent-commit trick Iceberg's own streaming
+    writer uses. Combined with the checkpointed source offsets this
+    yields exactly-once table contents across restarts.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        t = IcebergLocalTable(location)
+        if t.exists():
+            snap = t.current_snapshot()
+            if snap is not None:
+                last = snap["summary"].get("streaming-batch-id")
+                if last is not None and int(last) >= batch_id:
+                    return  # replayed batch: already committed
+        write_iceberg(
+            batch_df,
+            location,
+            partition_by=partition_by,
+            mode="append",
+            summary={"streaming-batch-id": batch_id},
+        )
+
+    return _write
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """rewrite_data_files: coalesce small files into ~target-size files
+    and commit a ``replace`` snapshot (no logical rows change; incremental
+    consumers skip it). The rewrite is a NARROW coalesce — no shuffle —
+    exactly like io.compact_parquet_dir, but the swap is a metadata
+    commit instead of a directory rename, so concurrent readers keep a
+    consistent snapshot throughout. Returns the new file count.
+    """
+    t = IcebergLocalTable(location)
+    files = t.scan()
+    if not files:
+        return 0
+    total = sum(f.file_size for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = read_iceberg(spark, location)
+    md = t.metadata()
+    seq = md["last-sequence-number"] + 1
+    commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
+    sess = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(conf_key, None)
+    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        df.coalesce(n_out).write.mode("errorifexists").parquet(commit_dir)
+    finally:
+        if prev is not None:
+            sess.conf.set(conf_key, prev)
+    struct = t._schema_struct(md)
+    types = {
+        f["name"]: f["type"] for f in struct["fields"]
+        if isinstance(f["type"], str)
+    }
+    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    parser = _partition_parser(
+        _data_dir(location), {c: types.get(c, "string") for c in spec_names}
+    )
+    new_files = collect_parquet_stats(_list_parquet(commit_dir), parser)
+    t.commit(new_files, operation="replace",
+             summary={"compaction-target-bytes": target_file_bytes})
+    return len(new_files)
 
 
 def merge_upsert_iceberg(

@@ -252,10 +252,16 @@ def decode_single(iceberg_type: str, b: bytes | None):
     if iceberg_type == "int" or iceberg_type == "date":
         return struct.unpack("<i", b)[0]
     if iceberg_type == "long" or iceberg_type in ("timestamp", "timestamptz"):
+        # 4-byte values are pre-promotion int bounds (schema evolution
+        # int→long): the spec requires readers to accept them
+        if len(b) == 4:
+            return struct.unpack("<i", b)[0]
         return struct.unpack("<q", b)[0]
     if iceberg_type == "float":
         return struct.unpack("<f", b)[0]
     if iceberg_type == "double":
+        if len(b) == 4:  # pre-promotion float bound (float→double)
+            return struct.unpack("<f", b)[0]
         return struct.unpack("<d", b)[0]
     if iceberg_type == "boolean":
         return b == b"\x01"
@@ -595,6 +601,106 @@ class IcebergLocalTable:
         t._write_metadata(md, 1)
         return t
 
+    # ---- schema evolution
+
+    def evolve_schema(self, spark_schema) -> bool:
+        """Union-evolve the current schema with ``spark_schema`` (top-level
+        adds only). Existing columns keep their field ids — the invariant
+        every Iceberg reader depends on; new columns get fresh ids above
+        last-column-id and a new schema-id becomes current. Returns True
+        if the schema changed.
+
+        Rejected (clear errors, not silent coercion): type changes other
+        than the spec's safe promotions (int→long, float→double), and
+        dropping a required column from the write schema.
+        """
+        md = self.metadata()
+        cur = self._schema_struct(md)
+        by_name = {f["name"]: f for f in cur["fields"]}
+        new_struct, _ = schema_from_spark(spark_schema)
+        incoming = {f["name"]: f for f in new_struct["fields"]}
+
+        promotions = {("int", "long"), ("float", "double")}
+        for name, f in by_name.items():
+            inc = incoming.get(name)
+            if inc is None:
+                if f["required"]:
+                    raise ValueError(
+                        f"write schema drops required column {name!r}"
+                    )
+                continue
+            old_t, new_t = f["type"], inc["type"]
+            if old_t != new_t:
+                if (
+                    isinstance(old_t, str)
+                    and isinstance(new_t, str)
+                    and (old_t, new_t) in promotions
+                ):
+                    f["type"] = new_t  # safe widening, id unchanged
+                else:
+                    raise ValueError(
+                        f"incompatible type change for {name!r}: "
+                        f"{old_t} → {new_t}"
+                    )
+
+        added = [n for n in incoming if n not in by_name]
+        changed = bool(added) or cur != self._schema_struct(self.metadata())
+        if not changed:
+            return False
+        next_id = md["last-column-id"]
+
+        def _reassign(t):
+            """fresh ids for a new column's nested types too."""
+            nonlocal next_id
+            if isinstance(t, str):
+                return t
+            t = dict(t)
+            if t["type"] == "struct":
+                fields = []
+                for f in t["fields"]:
+                    next_id += 1
+                    fields.append(
+                        {**f, "id": next_id, "type": _reassign(f["type"])}
+                    )
+                t["fields"] = fields
+            elif t["type"] == "list":
+                next_id += 1
+                t["element-id"] = next_id
+                t["element"] = _reassign(t["element"])
+            elif t["type"] == "map":
+                next_id += 1
+                t["key-id"] = next_id
+                next_id += 1
+                t["value-id"] = next_id
+                t["key"] = _reassign(t["key"])
+                t["value"] = _reassign(t["value"])
+            return t
+
+        new_fields = list(cur["fields"])
+        for name in added:
+            inc = incoming[name]
+            next_id += 1
+            new_fields.append(
+                {
+                    "id": next_id,
+                    "name": name,
+                    "required": False,  # adds are always optional — old
+                    # files can't have the value
+                    "type": _reassign(inc["type"]),
+                }
+            )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+            "fields": new_fields,
+        }
+        md["schemas"].append(new_schema)
+        md["current-schema-id"] = new_schema["schema-id"]
+        md["last-column-id"] = next_id
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+        return True
+
     # ---- commits
 
     def _schema_struct(self, md: dict) -> dict:
@@ -738,9 +844,11 @@ class IcebergLocalTable:
         ``append`` carries every manifest of the current snapshot forward;
         ``overwrite`` replaces the table contents (prior manifests are
         dropped from the new manifest list, prior data files stay on disk
-        for time travel until ``expire_snapshots``).
+        for time travel until ``expire_snapshots``); ``replace`` is the
+        compaction variant of overwrite (same mechanics, but flagged so
+        incremental consumers know no logical rows changed).
         """
-        if operation not in ("append", "overwrite"):
+        if operation not in ("append", "overwrite", "replace"):
             raise ValueError(operation)
         md = self.metadata()
         version = self.current_version()
@@ -939,6 +1047,66 @@ class IcebergLocalTable:
                         split_offsets=d.get("split_offsets"),
                     )
                 )
+        return out
+
+    def scan_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[DataFile]:
+        """Data files ADDED after ``from_snapshot_id`` (exclusive) up to
+        ``to_snapshot_id`` (inclusive; default current) — the incremental
+        append-scan a CDC consumer runs instead of re-reading the table.
+
+        Only defined over append/replace history (like Iceberg's
+        incremental read): an overwrite in the range changes rows the
+        file delta cannot express, so it raises. ``replace`` (compaction)
+        snapshots are skipped — their files carry no NEW logical rows.
+        """
+        md = self.metadata()
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"from snapshot {from_snapshot_id} not found")
+        if to_snapshot_id is None:
+            to_snapshot_id = md["current-snapshot-id"]
+        if to_snapshot_id not in snaps:
+            raise ValueError(f"to snapshot {to_snapshot_id} not found")
+        lo = snaps[from_snapshot_id]["sequence-number"]
+        hi = snaps[to_snapshot_id]["sequence-number"]
+        if hi < lo:
+            raise ValueError("to snapshot precedes from snapshot")
+        in_range = sorted(
+            (s for s in snaps.values() if lo < s["sequence-number"] <= hi),
+            key=lambda s: s["sequence-number"],
+        )
+        for s in in_range:
+            if s["summary"]["operation"] == "overwrite":
+                raise ValueError(
+                    "incremental scan crosses an overwrite snapshot "
+                    f"(seq {s['sequence-number']}); re-read the table"
+                )
+        out = []
+        # walk each append snapshot's OWN manifest list: after a later
+        # compaction the newest list no longer references the original
+        # append manifests, but the append snapshot's list still does
+        for s in in_range:
+            if s["summary"]["operation"] == "replace":
+                continue  # compaction adds no logical rows
+            _, _, manifests = avro_io.read_container(s["manifest-list"])
+            for m in manifests:
+                if m["sequence_number"] != s["sequence-number"]:
+                    continue  # carried forward from an older commit
+                _, _, entries = avro_io.read_container(m["manifest_path"])
+                for e in entries:
+                    if e["status"] != 1:  # only ADDED entries
+                        continue
+                    d = e["data_file"]
+                    out.append(
+                        DataFile(
+                            path=d["file_path"],
+                            record_count=d["record_count"],
+                            file_size=d["file_size_in_bytes"],
+                            partition=dict(d["partition"]),
+                        )
+                    )
         return out
 
     def spark_ddl(self) -> str:

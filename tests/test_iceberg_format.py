@@ -404,6 +404,144 @@ def test_timestamp_and_date_columns(spark, tmp_path):
     assert sorted(r["id"] for r in gd.collect()) == list(range(31, 48))
 
 
+def test_schema_evolution(spark, tmp_path):
+    """Union-evolve on write: new nullable columns get fresh field ids,
+    old files read back with nulls; int→long promotion widens in place."""
+    loc = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    write_iceberg(v1, loc)
+    t = IcebergLocalTable(loc)
+    ids_before = {
+        f["name"]: f["id"]
+        for f in t._schema_struct(t.metadata())["fields"]
+    }
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5, ["x"])],
+        "id bigint, name string, score double, tags array<string>",
+    )
+    write_iceberg(v2, loc, mode="append")
+    t = IcebergLocalTable(loc)
+    md = t.metadata()
+    struct = t._schema_struct(md)
+    ids_after = {f["name"]: f["id"] for f in struct["fields"]}
+    # existing columns keep their ids; new ones get fresh ids above them
+    for name, fid in ids_before.items():
+        assert ids_after[name] == fid, name
+    assert ids_after["score"] > max(ids_before.values())
+    assert md["current-schema-id"] == 1 and len(md["schemas"]) == 2
+    # promotion: id widened to long in place
+    assert {f["name"]: f["type"] for f in struct["fields"]}["id"] == "long"
+    back = read_iceberg(spark, loc).orderBy("id").collect()
+    assert [r["id"] for r in back] == [1, 2, 3]
+    assert [r["score"] for r in back] == [None, None, 0.5]
+    assert back[2]["tags"] == ["x"]
+    # incompatible changes are rejected loudly
+    bad = spark.createDataFrame([("x", "y")], "id string, name string")
+    with pytest.raises(ValueError, match="incompatible type change"):
+        write_iceberg(bad, loc, mode="append")
+
+
+def test_incremental_read_and_compaction(spark, tmp_path):
+    from ner_spark.iceberg.spark_io import (
+        compact_iceberg,
+        read_iceberg_incremental,
+    )
+
+    loc = str(tmp_path / "incr")
+    mk = lambda a, b: spark.range(a, b).selectExpr(  # noqa: E731
+        "id", "concat('n', id) as name"
+    )
+    s1 = write_iceberg(mk(0, 10), loc)
+    s2 = write_iceberg(mk(10, 25), loc, mode="append")
+    n_files = compact_iceberg(spark, loc, target_file_bytes=1 << 30)
+    assert n_files == 1  # everything coalesced into one file
+    t = IcebergLocalTable(loc)
+    s3 = t.current_snapshot()["snapshot-id"]
+    assert t.current_snapshot()["summary"]["operation"] == "replace"
+    s4 = write_iceberg(mk(25, 30), loc, mode="append")
+    # full read after compaction + append: all rows exactly once
+    assert read_iceberg(spark, loc).count() == 30
+    # incremental s1→current: the appends' rows, NOT the compacted rewrite
+    inc = read_iceberg_incremental(spark, loc, s1)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 30))
+    # sub-ranges
+    assert read_iceberg_incremental(spark, loc, s2, s3).count() == 0
+    assert read_iceberg_incremental(spark, loc, s3, s4).count() == 5
+    # crossing an overwrite is refused
+    write_iceberg(mk(0, 5), loc, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        read_iceberg_incremental(spark, loc, s1)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """iceberg_sink: replayed foreachBatch invocations (same or older
+    batch_id) are no-ops — the exactly-once commit protocol."""
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    loc = str(tmp_path / "sink")
+    sink = iceberg_sink(loc)
+    b0 = spark.range(0, 5).selectExpr("id", "concat('a', id) as v")
+    b1 = spark.range(5, 9).selectExpr("id", "concat('a', id) as v")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_iceberg(spark, loc).count() == 9
+    # replay batch 1 (foreachBatch's at-least-once delivery) → no dup
+    sink(b1, 1)
+    sink(b0, 0)
+    assert read_iceberg(spark, loc).count() == 9
+    t = IcebergLocalTable(loc)
+    assert t.current_snapshot()["summary"]["streaming-batch-id"] == "1"
+    # a NEW batch still lands
+    sink(spark.range(9, 10).selectExpr("id", "concat('a', id) as v"), 2)
+    assert read_iceberg(spark, loc).count() == 10
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    """A real writeStream → foreachBatch(iceberg_sink) run with
+    availableNow: table contents equal the stream input, snapshots are
+    append-only and batch-stamped."""
+    import pyspark.sql.functions as F
+
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "sink_e2e")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in [(0, 20), (20, 50)]:
+        spark.range(lo, hi).selectExpr(
+            "id", "concat('v', id) as v"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withColumn("flag", F.col("id") % 2 == 0)
+        .writeStream.foreachBatch(iceberg_sink(loc))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_iceberg(spark, loc).count() == 50
+    t = IcebergLocalTable(loc)
+    ops = [s["summary"]["operation"] for s in t.snapshots()]
+    assert set(ops) == {"append"} and len(ops) >= 1
+    # restart on the same checkpoint with no new data: no new snapshots
+    n_before = len(t.snapshots())
+    q2 = (
+        stream.withColumn("flag", F.col("id") % 2 == 0)
+        .writeStream.foreachBatch(iceberg_sink(loc))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert len(IcebergLocalTable(loc).snapshots()) == n_before
+    assert read_iceberg(spark, loc).count() == 50
+
+
 def test_empty_table_and_null_partitions(spark, tmp_path):
     loc = str(tmp_path / "nulls")
     df = spark.createDataFrame(
