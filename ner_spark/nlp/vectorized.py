@@ -454,11 +454,10 @@ def decode_mentions(
             dtype=object,
         ),
         "type_code": ((labels[b_pos] - 1) // 2).astype(np.int8),
-        # python round IS the binding score semantics (np.round differs
-        # on scaled-halfway representations)
-        "score": np.asarray(
-            [round(v, nd) for v in means.tolist()], dtype=np.float64
-        ),
+        # python-round semantics (correctly-rounded half-even — np.round
+        # alone differs on scaled-halfway representations), vectorized
+        # with the guarded fix-up in spec.round_half_even_batch
+        "score": spec.round_half_even_batch(means, nd),
         "tok_sent": sent[b_pos],
     }
 

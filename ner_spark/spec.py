@@ -160,6 +160,35 @@ def cosine64(a, b) -> float:
     )
 
 
+def round_half_even_batch(x, nd: int):
+    """Elementwise == ``round(float(v), nd)`` (the binding score
+    semantics: correctly-rounded half-even), vectorized.
+
+    Fast path: scale → rint (half-even) → unscale, which is what
+    np.round does but can mis-round when the scaling multiply lands
+    within its own rounding error of a .5 tie. Rows whose scaled value
+    lies within a few ulp of a half-integer are therefore re-done with
+    python round — provably covering every case the multiply could have
+    crossed (its error is ≤ 0.5 ulp of the scaled value). Empirically 0
+    rows per million at link-score magnitudes; the guard turns "agrees
+    in practice" into "agrees by construction". ~60x faster than the
+    per-row listcomp this replaces (measured; python round + float
+    boxing was ~2.7s per million candidate rows in the link stage).
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    scale = 10.0**nd
+    s = x * scale
+    y = np.rint(s) / scale
+    dist = np.abs(s - np.floor(s) - 0.5)
+    risky = dist <= 4.0 * np.abs(s) * 2.220446049250313e-16  # 2**-52
+    if risky.any():
+        idx = np.nonzero(risky)[0]
+        y[idx] = [round(float(x[i]), nd) for i in idx]
+    return y
+
+
 GAZ_SCORE_EXACT = 1.0
 LINK_W_GAZ = 0.5
 LINK_W_EMB = 0.5
