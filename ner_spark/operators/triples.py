@@ -75,10 +75,9 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
     def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # the between slice arrived pre-cut from the JVM; strip /
-            # casefold / phrase lookup vectorize over the batch; python
-            # round stays per-value because python-round IS the binding
-            # confidence semantics (np.round differs on scaled-halfway
-            # representations)
+            # casefold / phrase lookup vectorize over the batch; the
+            # confidence keeps python-round semantics (correctly-rounded
+            # half-even) via the guarded vectorized batch rounder
             rel = (
                 pdf["between"].str.strip()
                 .str.casefold()
@@ -86,10 +85,10 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
                 .where(pdf["sent_idx"].eq(pdf["b_sent_idx"]))
             )
             preds = rel.fillna(spec.COOC_PRED)
-            confs = [
-                round(a * b, spec.SCORE_NDIGITS)
-                for a, b in zip(pdf["link_score"], pdf["b_score"])
-            ]
+            confs = spec.round_half_even_batch(
+                pdf["link_score"].to_numpy() * pdf["b_score"].to_numpy(),
+                spec.SCORE_NDIGITS,
+            )
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -97,7 +96,9 @@ def rel_cooc_triples(links: DataFrame, transcripts: DataFrame) -> DataFrame:
                     "subj": pdf["entity_id"],
                     "pred": preds,
                     "obj": pdf["b_entity"],
-                    "confidence": pd.Series(confs, index=pdf.index, dtype="float64"),
+                    "confidence": pd.Series(
+                        confs, index=pdf.index, dtype="float64"
+                    ),
                 }
             )
 
