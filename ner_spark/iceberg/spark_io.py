@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import urllib.parse
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,22 @@ from ner_spark.iceberg.table import (
 
 def _data_dir(location: str) -> str:
     return os.path.join(location.rstrip("/"), "data")
+
+
+def _deletes_dir(location: str) -> str:
+    """Delete files (v2 merge-on-read row deltas) live beside the data
+    tree, never inside it — the ``basePath``-driven data scan must not
+    pick them up as data."""
+    return os.path.join(location.rstrip("/"), "deletes")
+
+
+# Spark's _metadata.file_path carries a URI scheme (file:///...); manifest
+# data-file paths are plain POSIX. Position-delete matching normalizes both.
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?"
+
+
+def _strip_scheme(col):
+    return F.regexp_replace(col, _SCHEME_RE, "")
 
 
 def _list_parquet(d: str) -> list[str]:
@@ -76,6 +93,56 @@ def _partition_parser(data_dir: str, spec_cols: dict[str, str]):
     return parse
 
 
+def _write_parquet_micros(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """Write immutable parquet for a commit. Iceberg data files must use
+    TIMESTAMP_MICROS (INT96 has no column stats → no bounds, no pruning);
+    ner_spark.session sets this globally, but honor it for foreign
+    sessions too (set-and-restore)."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    sess = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(conf_key, None)
+    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(out_dir)
+    finally:
+        if prev is not None:
+            sess.conf.set(conf_key, prev)
+
+
+def _stat_commit_dir(
+    t: IcebergLocalTable, md: dict, location: str, commit_dir: str
+) -> list[DataFile]:
+    """Footer stats for a freshly written data commit dir, with identity
+    partition values recovered from the hive segments and mirrored into
+    the (path-only) partition column's bounds."""
+    struct = t._schema_struct(md)
+    types = {
+        f["name"]: f["type"] for f in struct["fields"]
+        if isinstance(f["type"], str)
+    }
+    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    parser = _partition_parser(_data_dir(location), {
+        c: types.get(c, "string") for c in spec_names
+    })
+    files = collect_parquet_stats(_list_parquet(commit_dir), parser)
+    for f in files:
+        for c, v in f.partition.items():
+            if v is not None:
+                f.lower_bounds.setdefault(c, v)
+                f.upper_bounds.setdefault(c, v)
+    return files
+
+
 def write_iceberg(
     df: DataFrame,
     location: str,
@@ -102,45 +169,88 @@ def write_iceberg(
     md = t.metadata()
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
-    spec_fields = t._spec_fields(md)
-    spec_names = [pf["name"] for pf in spec_fields]
-
-    w = df.write.mode("errorifexists")
-    if spec_names:
-        w = w.partitionBy(*spec_names)
-    # Iceberg data files must use TIMESTAMP_MICROS (INT96 has no column
-    # stats → no bounds, no pruning); ner_spark.session sets this
-    # globally, but honor it for foreign sessions too (set-and-restore)
-    sess = df.sparkSession
-    conf_key = "spark.sql.parquet.outputTimestampType"
-    prev = sess.conf.get(conf_key, None)
-    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
-    try:
-        w.parquet(commit_dir)
-    finally:
-        if prev is not None:
-            sess.conf.set(conf_key, prev)
-
-    struct = t._schema_struct(md)
-    types = {
-        f["name"]: f["type"] for f in struct["fields"]
-        if isinstance(f["type"], str)
-    }
-    parser = _partition_parser(_data_dir(location), {
-        c: types.get(c, "string") for c in spec_names
-    })
-    files = collect_parquet_stats(_list_parquet(commit_dir), parser)
-    # identity partition values also bound the (path-only) partition column
-    for f in files:
-        for c, v in f.partition.items():
-            if v is not None:
-                f.lower_bounds.setdefault(c, v)
-                f.upper_bounds.setdefault(c, v)
+    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
+    files = _stat_commit_dir(t, md, location, commit_dir)
     summ = dict(summary or {})
     if run_id is not None:
         summ["run_id"] = run_id
     op = "append" if mode == "append" else "overwrite"
     return t.commit(files, operation=op, summary=summ)
+
+
+def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+    """Residual predicate: file pruning keeps files that MAY match; the
+    row-level filter is re-applied here (and pushed to the parquet scan
+    by Catalyst)."""
+    for col, op, val in filters or []:
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == val, "<": c < val, "<=": c <= val,
+             ">": c > val, ">=": c >= val}[op]
+        )
+    return df
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    dels: list[DataFile],
+    struct: dict,
+) -> DataFrame:
+    """Merge-on-read: subtract delete files from the raw data scan.
+
+    ``df`` must be the file-source scan itself (``_metadata`` intact,
+    ``seq`` hive column still selected). Position deletes (content=1)
+    anti-join on (file_path, row ordinal) via Spark's ``_metadata``
+    hidden column — no seq scoping needed, a position can only name a
+    file that existed when the delete was written. Equality deletes
+    (content=2) anti-join null-safely on their ``equality_ids`` columns,
+    scoped to data rows with a STRICTLY smaller commit sequence (the
+    hive ``seq=N`` layout stamps every row with its commit's sequence
+    number, which by construction equals the manifest entry's) — rows
+    appended in the same snapshot or later survive, which is exactly
+    what lets one atomic MERGE commit delete-old + append-new.
+
+    Both joins broadcast the delete side: row deltas are CDC-sized next
+    to the table by design; when they stop being small, ``compact_iceberg``
+    folds them back into data files.
+    """
+    pos = [d for d in dels if d.content == 1]
+    eqs = [d for d in dels if d.content == 2]
+    if pos:
+        data = df.select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        pdel = spark.read.parquet(*[d.path for d in pos]).select(
+            _strip_scheme(F.col("file_path")).alias("__fp"),
+            F.col("pos").alias("__pos"),
+        )
+        df = data.join(
+            F.broadcast(pdel), ["__fp", "__pos"], "left_anti"
+        ).drop("__fp", "__pos")
+    if eqs:
+        id2name = {f["id"]: f["name"] for f in struct["fields"]}
+        groups: dict[tuple, list[DataFile]] = {}
+        for d in eqs:
+            groups.setdefault(tuple(d.equality_ids or ()), []).append(d)
+        for ids, group in groups.items():
+            names = [id2name[i] for i in ids]
+            parts = [
+                spark.read.parquet(d.path)
+                .select(*[F.col(c).alias(f"__d_{c}") for c in names])
+                .withColumn("__dseq", F.lit(d.sequence_number))
+                for d in group
+            ]
+            deld = reduce(DataFrame.unionByName, parts)
+            cond = F.col("seq") < F.col("__dseq")
+            for c in names:
+                # spec: null matches null in equality deletes
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            df = df.join(F.broadcast(deld), cond, "left_anti")
+    return df
 
 
 def read_iceberg(
@@ -150,7 +260,8 @@ def read_iceberg(
     as_of_ms: int | None = None,
     filters: list[tuple] | None = None,
 ) -> DataFrame:
-    """Scan → DataFrame (file-pruned, schema from table metadata)."""
+    """Scan → DataFrame (file-pruned, schema from table metadata,
+    merge-on-read delete files applied)."""
     t = IcebergLocalTable(location)
     md = t.metadata()
     ddl = t.spark_ddl()
@@ -158,23 +269,15 @@ def read_iceberg(
     cols = [f["name"] for f in t._schema_struct(md)["fields"]]
     if not files:
         return spark.createDataFrame([], ddl)
-    reader = (
+    out = (
         spark.read.schema(ddl + ", seq bigint")
         .option("basePath", _data_dir(location))
         .parquet(*[f.path for f in files])
     )
-    out = reader.select(*cols)
-    if filters:
-        # residual predicate: file pruning keeps files that MAY match;
-        # the row-level filter is re-applied here (and pushed to the
-        # parquet scan by Catalyst)
-        for col, op, val in filters:
-            c = F.col(col)
-            out = out.filter(
-                {"=": c == val, "<": c < val, "<=": c <= val,
-                 ">": c > val, ">=": c >= val}[op]
-            )
-    return out
+    dels = t.scan_deletes(snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    if dels:
+        out = _apply_deletes(spark, out, dels, t._schema_struct(md))
+    return _apply_filters(out.select(*cols), filters)
 
 
 def read_iceberg_incremental(
@@ -243,7 +346,11 @@ def compact_iceberg(
     consumers skip it). The rewrite is a NARROW coalesce — no shuffle —
     exactly like io.compact_parquet_dir, but the swap is a metadata
     commit instead of a directory rename, so concurrent readers keep a
-    consistent snapshot throughout. Returns the new file count.
+    consistent snapshot throughout. Because the source read is
+    merge-on-read, compaction also FOLDS accumulated position/equality
+    delete files into the rewritten data (the ``replace`` snapshot
+    carries no delete manifests forward) — this is the maintenance half
+    of the MOR contract. Returns the new file count.
     """
     t = IcebergLocalTable(location)
     files = t.scan()
@@ -255,28 +362,164 @@ def compact_iceberg(
     md = t.metadata()
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
-    sess = df.sparkSession
-    conf_key = "spark.sql.parquet.outputTimestampType"
-    prev = sess.conf.get(conf_key, None)
-    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
-    try:
-        df.coalesce(n_out).write.mode("errorifexists").parquet(commit_dir)
-    finally:
-        if prev is not None:
-            sess.conf.set(conf_key, prev)
-    struct = t._schema_struct(md)
-    types = {
-        f["name"]: f["type"] for f in struct["fields"]
-        if isinstance(f["type"], str)
-    }
-    spec_names = [pf["name"] for pf in t._spec_fields(md)]
-    parser = _partition_parser(
-        _data_dir(location), {c: types.get(c, "string") for c in spec_names}
-    )
-    new_files = collect_parquet_stats(_list_parquet(commit_dir), parser)
+    _write_parquet_micros(df, commit_dir, coalesce=n_out)
+    new_files = _stat_commit_dir(t, md, location, commit_dir)
     t.commit(new_files, operation="replace",
              summary={"compaction-target-bytes": target_file_bytes})
     return len(new_files)
+
+
+def _write_delete_files(
+    md: dict,
+    location: str,
+    df: DataFrame,
+    content: int,
+    equality_ids: list[int] | None = None,
+    n_files: int = 1,
+) -> list[DataFile]:
+    """Write ``df`` as v2 delete file(s) under ``<location>/deletes/seq=N``
+    and return stat'd :class:`DataFile` entries (content 1 or 2) ready for
+    ``commit(operation='delete')``. Returns ``[]`` when ``df`` is empty —
+    callers skip the commit entirely (an empty row delta is a no-op, not
+    a snapshot)."""
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(_deletes_dir(location), f"seq={seq}")
+    _write_parquet_micros(df, out_dir, coalesce=n_files)
+    files = collect_parquet_stats(_list_parquet(out_dir))
+    files = [f for f in files if f.record_count > 0]
+    for f in files:
+        f.content = content
+        f.equality_ids = list(equality_ids) if equality_ids else None
+    return files
+
+
+def delete_iceberg_where(
+    spark: SparkSession,
+    location: str,
+    filters: list[tuple],
+    run_id: str | None = None,
+) -> int | None:
+    """Merge-on-read DELETE WHERE via position delete files.
+
+    Scans only the files whose bounds MAY match (manifest pruning), finds
+    the matching row ordinals with Spark's ``_metadata`` hidden column,
+    and commits a ``delete`` snapshot carrying sorted
+    ``(file_path, pos)`` position-delete parquet — no data file is
+    rewritten, which is the point: at 100 TB a DELETE touching 0.1% of
+    rows costs O(matching files scanned) + a KB-scale delete file, not a
+    table rewrite. Readers subtract the positions until
+    ``compact_iceberg`` folds them in. Returns the new snapshot id, or
+    None when nothing matched (no-op, no snapshot).
+    """
+    t = IcebergLocalTable(location)
+    md = t.metadata()
+    files = t.scan(filters=filters)
+    if not files:
+        return None
+    raw = (
+        spark.read.schema(t.spark_ddl() + ", seq bigint")
+        .option("basePath", _data_dir(location))
+        .parquet(*[f.path for f in files])
+    )
+    # duplicate positions (rows already MOR-deleted) are harmless per
+    # spec — the anti-join is idempotent — so no need to re-apply
+    # existing deletes before matching
+    matched = (
+        _apply_filters(raw, filters)
+        .select(
+            _strip_scheme(F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .sort("file_path", "pos")  # spec: position deletes are sorted
+    )
+    dels = _write_delete_files(md, location, matched, content=1)
+    if not dels:
+        return None
+    summ = {"delete-mode": "position", "run_id": run_id} if run_id else {
+        "delete-mode": "position"
+    }
+    return t.commit([], operation="delete", delete_files=dels, summary=summ)
+
+
+def _field_ids(t: IcebergLocalTable, md: dict, names: list[str]) -> list[int]:
+    by_name = {f["name"]: f["id"] for f in t._schema_struct(md)["fields"]}
+    missing = [n for n in names if n not in by_name]
+    if missing:
+        raise ValueError(f"equality-delete columns not in schema: {missing}")
+    return [by_name[n] for n in names]
+
+
+def delete_iceberg_keys(
+    spark: SparkSession,
+    location: str,
+    keys: DataFrame,
+    run_id: str | None = None,
+) -> int | None:
+    """Merge-on-read DELETE by key via equality delete files.
+
+    ``keys``'s columns name the equality fields (``equality_ids`` in the
+    manifest); every data row with a STRICTLY smaller commit sequence
+    matching all of them (null = null) is logically deleted. Unlike the
+    position path this never scans the table — the delete file is just
+    the key set, O(delta) to produce, which is why streaming CDC sinks
+    emit equality deletes. Returns the new snapshot id, or None for an
+    empty key set.
+    """
+    t = IcebergLocalTable(location)
+    md = t.metadata()
+    ids = _field_ids(t, md, keys.columns)
+    dels = _write_delete_files(
+        md, location, keys.dropDuplicates(), content=2, equality_ids=ids
+    )
+    if not dels:
+        return None
+    summ = {"delete-mode": "equality", "run_id": run_id} if run_id else {
+        "delete-mode": "equality"
+    }
+    return t.commit([], operation="delete", delete_files=dels, summary=summ)
+
+
+def merge_upsert_iceberg_mor(
+    spark: SparkSession,
+    location: str,
+    delta: DataFrame,
+    key: str,
+    run_id: str | None = None,
+) -> int:
+    """Merge-on-read MERGE: one atomic ``delete`` snapshot that
+    equality-deletes the delta's keys AND appends the delta's rows.
+
+    The strict-sequence rule makes the single commit sound: the equality
+    delete (content=2, seq=N) only matches data rows with seq<N, so the
+    rows appended in the same snapshot (seq=N) survive. Cost is
+    O(delta) — no base-table scan, no rewrite — vs ``merge_upsert_iceberg``
+    (copy-on-write), which rewrites the table but leaves readers
+    delete-free. The classic trade: MOR for write-heavy CDC ingest with
+    periodic ``compact_iceberg``, COW for read-heavy tables.
+    """
+    t = IcebergLocalTable(location)
+    md = t.metadata()
+    t.evolve_schema(delta.schema)
+    md = t.metadata()
+    base_cols = [f["name"] for f in t._schema_struct(md)["fields"]]
+    dels = _write_delete_files(
+        md, location, delta.select(key).dropDuplicates(),
+        content=2, equality_ids=_field_ids(t, md, [key]),
+    )
+    if not dels:  # empty delta: nothing to delete, nothing to append
+        snap = t.current_snapshot()
+        return snap["snapshot-id"] if snap else -1
+    seq = md["last-sequence-number"] + 1
+    commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
+    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    _write_parquet_micros(
+        delta.select(*base_cols), commit_dir, partition_by=spec_names or None
+    )
+    files = _stat_commit_dir(t, md, location, commit_dir)
+    summ = {"merge-mode": "merge-on-read"}
+    if run_id is not None:
+        summ["run_id"] = run_id
+    return t.commit(files, operation="delete", delete_files=dels, summary=summ)
 
 
 def merge_upsert_iceberg(

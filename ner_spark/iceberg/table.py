@@ -360,6 +360,12 @@ def manifest_entry_schema(spec_fields: list[dict], schema_struct: dict) -> dict:
                 "field-id": 132,
             },
             {
+                "name": "equality_ids",
+                "type": _opt({"type": "array", "items": "int", "element-id": 136}),
+                "default": None,
+                "field-id": 135,
+            },
+            {
                 "name": "sort_order_id",
                 "type": _opt("int"),
                 "default": None,
@@ -433,7 +439,14 @@ MANIFEST_FILE_SCHEMA = {
 
 @dataclass
 class DataFile:
-    """One immutable parquet data file + the stats Iceberg tracks for it."""
+    """One immutable parquet file + the stats Iceberg tracks for it.
+
+    ``content`` follows the v2 spec: 0 = DATA, 1 = POSITION DELETES
+    (rows of ``file_path``/``pos`` naming deleted ordinals of a data
+    file), 2 = EQUALITY DELETES (rows of key values whose ``equality_ids``
+    name the schema fields they match on). ``sequence_number`` is filled
+    on scan — readers need it for the merge-on-read rules (an equality
+    delete applies only to data files with a strictly smaller sequence)."""
 
     path: str
     record_count: int
@@ -442,6 +455,9 @@ class DataFile:
     lower_bounds: dict = field(default_factory=dict)  # field name → raw value
     upper_bounds: dict = field(default_factory=dict)
     split_offsets: list[int] | None = None
+    content: int = 0  # 0 data / 1 position deletes / 2 equality deletes
+    equality_ids: list[int] | None = None  # content=2: field ids matched on
+    sequence_number: int | None = None  # stamped at scan time
 
 
 def collect_parquet_stats(paths: list[str], partition_values=None) -> list[DataFile]:
@@ -719,8 +735,13 @@ class IcebergLocalTable:
         files: list[DataFile],
         snapshot_id: int,
         seq: int,
+        content: int = 0,
     ) -> dict:
-        """Write one manifest avro; return its manifest_file entry."""
+        """Write one manifest avro; return its manifest_file entry.
+
+        ``content`` is the manifest-level kind: 0 = data manifest,
+        1 = delete manifest (its entries carry position/equality delete
+        files; per the v2 spec the two kinds never mix in one manifest)."""
         struct = self._schema_struct(md)
         spec_fields = self._spec_fields(md)
         by_name = {f["name"]: f for f in struct["fields"]}
@@ -756,7 +777,7 @@ class IcebergLocalTable:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": 0,  # DATA
+                        "content": df.content,
                         "file_path": df.path,
                         "file_format": "PARQUET",
                         "partition": {
@@ -768,6 +789,7 @@ class IcebergLocalTable:
                         "lower_bounds": _bounds(df.lower_bounds, upper=False),
                         "upper_bounds": _bounds(df.upper_bounds, upper=True),
                         "split_offsets": df.split_offsets,
+                        "equality_ids": df.equality_ids,
                         "sort_order_id": 0,
                     },
                 }
@@ -783,7 +805,7 @@ class IcebergLocalTable:
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(md["default-spec-id"]),
                 "format-version": "2",
-                "content": "data",
+                "content": "deletes" if content else "data",
             },
         )
         # manifest-level partition summaries (field 507), in spec-field order
@@ -820,7 +842,7 @@ class IcebergLocalTable:
             "manifest_path": mpath,
             "manifest_length": length,
             "partition_spec_id": md["default-spec-id"],
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
@@ -838,6 +860,7 @@ class IcebergLocalTable:
         files: list[DataFile],
         operation: str = "append",
         summary: dict | None = None,
+        delete_files: list[DataFile] | None = None,
     ) -> int:
         """Commit a snapshot; returns the snapshot id.
 
@@ -846,10 +869,31 @@ class IcebergLocalTable:
         dropped from the new manifest list, prior data files stay on disk
         for time travel until ``expire_snapshots``); ``replace`` is the
         compaction variant of overwrite (same mechanics, but flagged so
-        incremental consumers know no logical rows changed).
+        incremental consumers know no logical rows changed); ``delete`` is
+        the merge-on-read row delta: prior manifests carry forward and the
+        commit adds ``delete_files`` (position/equality delete files,
+        DataFile.content 1/2) in a delete manifest — plus, optionally,
+        new data ``files`` in the same atomic snapshot (the MERGE shape:
+        equality-delete the matched keys, append the new rows; upstream
+        Iceberg labels row deltas "overwrite", this format keeps that
+        word for its simpler truncate-and-write semantics).
         """
-        if operation not in ("append", "overwrite", "replace"):
+        if operation not in ("append", "overwrite", "replace", "delete"):
             raise ValueError(operation)
+        if delete_files and operation != "delete":
+            raise ValueError("delete_files require operation='delete'")
+        if operation == "delete":
+            bad = [d.path for d in delete_files or [] if d.content not in (1, 2)]
+            if bad or not delete_files:
+                raise ValueError(
+                    "operation='delete' needs delete_files with content 1 "
+                    f"(position) or 2 (equality); got {bad or 'none'}"
+                )
+            bad = [
+                d.path for d in delete_files if d.content == 2 and not d.equality_ids
+            ]
+            if bad:
+                raise ValueError(f"equality deletes need equality_ids: {bad}")
         md = self.metadata()
         version = self.current_version()
         seq = md["last-sequence-number"] + 1
@@ -857,10 +901,15 @@ class IcebergLocalTable:
         parent = md.get("current-snapshot-id", -1)
 
         manifests: list[dict] = []
-        if operation == "append" and parent not in (-1, None):
+        if operation in ("append", "delete") and parent not in (-1, None):
             cur = self.current_snapshot()
             _, _, prior = avro_io.read_container(cur["manifest-list"])
             manifests.extend(prior)
+        if delete_files:
+            manifests.insert(
+                0,
+                self._write_manifest(md, delete_files, snapshot_id, seq, content=1),
+            )
         if files:
             manifests.insert(0, self._write_manifest(md, files, snapshot_id, seq))
 
@@ -880,10 +929,16 @@ class IcebergLocalTable:
         )
         now = _NOW_MS()
         added_rows = sum(f.record_count for f in files)
+        data_manifests = [m for m in manifests if m.get("content", 0) == 0]
+        del_manifests = [m for m in manifests if m.get("content", 0) == 1]
         total_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
-                         for m in manifests)
+                         for m in data_manifests)
         total_files = sum(m["added_files_count"] + m["existing_files_count"]
-                          for m in manifests)
+                          for m in data_manifests)
+        total_del_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
+                             for m in del_manifests)
+        total_del_files = sum(m["added_files_count"] + m["existing_files_count"]
+                              for m in del_manifests)
         snap = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": None if parent in (-1, None) else parent,
@@ -895,8 +950,14 @@ class IcebergLocalTable:
                 "operation": operation,
                 "added-data-files": str(len(files)),
                 "added-records": str(added_rows),
+                "added-delete-files": str(len(delete_files or [])),
+                "added-delete-records": str(
+                    sum(d.record_count for d in delete_files or [])
+                ),
                 "total-records": str(total_rows),
                 "total-data-files": str(total_files),
+                "total-delete-files": str(total_del_files),
+                "total-delete-records": str(total_del_rows),
                 **{k: str(v) for k, v in (summary or {}).items()},
             },
         }
@@ -934,23 +995,9 @@ class IcebergLocalTable:
         residual predicate; Spark does on the parquet scan).
         """
         md = self.metadata()
-        snaps = md.get("snapshots", [])
-        if snapshot_id is None and as_of_ms is not None:
-            older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
-            if not older:
-                return []
-            snapshot_id = max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
-        if snapshot_id is None:
-            snapshot_id = md.get("current-snapshot-id", -1)
-        if snapshot_id in (-1, None):
-            return []
-        snap = next(
-            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
-        )
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         if snap is None:
-            raise ValueError(
-                f"snapshot {snapshot_id} not found (expired or never existed)"
-            )
+            return []
         struct = self._schema_struct(md)
         by_name = {f["name"]: f for f in struct["fields"]}
         by_id = {f["id"]: f for f in struct["fields"]}
@@ -1017,11 +1064,15 @@ class IcebergLocalTable:
         out: list[DataFile] = []
         _, _, manifests = avro_io.read_container(snap["manifest-list"])
         for m in manifests:
+            if m.get("content", 0) != 0:  # delete manifest → scan_deletes
+                continue
             if not _manifest_may_match(m):
                 continue
             _, _, entries = avro_io.read_container(m["manifest_path"])
             for e in entries:
                 if e["status"] == 2:  # DELETED
+                    continue
+                if e["data_file"].get("content", 0) != 0:
                     continue
                 if not _file_may_match(e):
                     continue
@@ -1045,9 +1096,71 @@ class IcebergLocalTable:
                         lower_bounds=lower,
                         upper_bounds=upper,
                         split_offsets=d.get("split_offsets"),
+                        sequence_number=e.get("sequence_number"),
                     )
                 )
         return out
+
+    def scan_deletes(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> list[DataFile]:
+        """Delete files live at a snapshot — the merge-on-read side of
+        ``scan``. Readers apply them per the v2 rules: a position delete
+        names (file_path, pos) ordinals directly; an equality delete
+        matches rows on its ``equality_ids`` columns in data files with a
+        STRICTLY smaller sequence number (rows appended after the delete
+        survive), nulls matching nulls. Time travel composes for free:
+        a past snapshot's manifest list simply doesn't reference deletes
+        committed later."""
+        md = self.metadata()
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        out: list[DataFile] = []
+        _, _, manifests = avro_io.read_container(snap["manifest-list"])
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, _, entries = avro_io.read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                out.append(
+                    DataFile(
+                        path=d["file_path"],
+                        record_count=d["record_count"],
+                        file_size=d["file_size_in_bytes"],
+                        partition=dict(d["partition"]),
+                        content=d.get("content", 1),
+                        equality_ids=d.get("equality_ids"),
+                        sequence_number=e.get("sequence_number"),
+                    )
+                )
+        return out
+
+    def _resolve_snapshot(
+        self, md: dict, snapshot_id: int | None, as_of_ms: int | None
+    ) -> dict | None:
+        """(snapshot_id | as_of_ms | current) → snapshot dict or None."""
+        snaps = md.get("snapshots", [])
+        if snapshot_id is None and as_of_ms is not None:
+            older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not older:
+                return None
+            snapshot_id = max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+        if snapshot_id is None:
+            snapshot_id = md.get("current-snapshot-id", -1)
+        if snapshot_id in (-1, None):
+            return None
+        snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found (expired or never existed)"
+            )
+        return snap
 
     def scan_incremental(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -1078,9 +1191,10 @@ class IcebergLocalTable:
             key=lambda s: s["sequence-number"],
         )
         for s in in_range:
-            if s["summary"]["operation"] == "overwrite":
+            if s["summary"]["operation"] in ("overwrite", "delete"):
                 raise ValueError(
-                    "incremental scan crosses an overwrite snapshot "
+                    "incremental scan crosses an "
+                    f"{s['summary']['operation']} snapshot "
                     f"(seq {s['sequence-number']}); re-read the table"
                 )
         out = []
@@ -1098,6 +1212,8 @@ class IcebergLocalTable:
                 for e in entries:
                     if e["status"] != 1:  # only ADDED entries
                         continue
+                    if e["data_file"].get("content", 0) != 0:
+                        continue  # delete files carry no new rows
                     d = e["data_file"]
                     out.append(
                         DataFile(

@@ -116,6 +116,96 @@ def iceberg_snapshot_reads(spark, sf):
 
 
 @register(
+    "iceberg_mor_delta",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0),
+    d1 AS (  -- after the position DELETE WHERE o_totalprice < 50000
+      SELECT * FROM base WHERE NOT (o_totalprice < 50000.0)),
+    d2 AS (  -- after the equality delete on o_orderkey % 20 = 0 keys
+      SELECT * FROM d1 WHERE o_orderkey % 20 <> 0),
+    delta AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 = 4),
+    cur AS (
+      SELECT d.* FROM d2 d
+      WHERE d.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+      UNION ALL SELECT * FROM delta),
+    states AS (
+      SELECT 'snap1' AS snap, o_totalprice FROM base
+      UNION ALL SELECT 'current', o_totalprice FROM cur)
+    SELECT snap, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           SUM(CASE WHEN o_totalprice = 1.0 THEN 1 ELSE 0 END) AS n_merged
+    FROM states GROUP BY snap
+    """,
+)
+def iceberg_mor_delta(spark, sf):
+    """Merge-on-read row deltas through the real v2 format: a position
+    DELETE WHERE (delete_iceberg_where → (file_path, pos) parquet), an
+    equality delete (delete_iceberg_keys → key-set parquet with
+    equality_ids), and a single-commit MOR MERGE (equality-delete the
+    delta's keys + append its rows, strict-sequence rule keeping the
+    new rows alive) — then the current state AND the pre-delete snapshot
+    are read back through the metadata. The oracle reconstructs both
+    states relationally, so any MOR bookkeeping error (a delete applied
+    to the wrong sequence range, a position that out-lives compaction, a
+    merge that leaks pre-image rows) is a value mismatch.
+
+    Scale shape: every delta here is O(changed rows) — no data file is
+    rewritten. At 100 TB a 0.1% DELETE costs a KB-scale delete file plus
+    a pruned scan, and CDC MERGE ingest never touches the base table;
+    compact_iceberg folds the deltas back on maintenance windows.
+    """
+    from ner_spark.iceberg.spark_io import (
+        delete_iceberg_keys,
+        delete_iceberg_where,
+        merge_upsert_iceberg_mor,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/orders_mor"
+    s1 = write_iceberg(
+        o.where(key % 4 == 0), loc, partition_by=["o_orderstatus"],
+        run_id="m1",
+    )
+    delete_iceberg_where(spark, loc, [("o_totalprice", "<", 50000.0)])
+    delete_iceberg_keys(
+        spark, loc,
+        o.where((key % 4 == 0) & (key % 20 == 0)).select("o_orderkey"),
+    )
+    delta = o.where(key % 8 == 4).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merge_upsert_iceberg_mor(spark, loc, delta, key="o_orderkey")
+
+    parts = []
+    for label, sid in [("snap1", s1), ("current", None)]:
+        parts.append(
+            read_iceberg(spark, loc, snapshot_id=sid)
+            .agg(
+                F.count("*").alias("n_rows"),
+                _dsum("o_totalprice", "sum_price"),
+                F.sum(
+                    F.when(F.col("o_totalprice") == 1.0, 1).otherwise(0)
+                ).alias("n_merged"),
+            )
+            .select(F.lit(label).alias("snap"), "n_rows", "sum_price",
+                    "n_merged")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
     "iceberg_pruned_scan",
     """
     SELECT l_linestatus, COUNT(*) AS n_rows,
