@@ -306,7 +306,12 @@ def read_iceberg_incremental(
     )
 
 
-def iceberg_sink(location: str, partition_by: list[str] | None = None):
+def iceberg_sink(
+    location: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    key: str | None = None,
+):
     """Exactly-once streaming sink: ``writeStream.foreachBatch(iceberg_sink(loc))``.
 
     foreachBatch's contract is at-least-once with a stable batch_id on
@@ -315,22 +320,42 @@ def iceberg_sink(location: str, partition_by: list[str] | None = None):
     no-op — the same idempotent-commit trick Iceberg's own streaming
     writer uses. Combined with the checkpointed source offsets this
     yields exactly-once table contents across restarts.
+
+    ``mode='upsert'`` (requires ``key``) is the streaming-CDC shape:
+    each batch lands as one atomic merge-on-read commit — an equality
+    delete on the batch's keys plus the batch's rows — so later
+    occurrences of a key replace earlier ones without ever rewriting
+    the base table; O(batch) per trigger at any table size, with
+    ``compact_iceberg`` folding the accumulated deltas on maintenance
+    windows. This is why streaming writers emit equality deletes: the
+    batch cannot know which data files hold its keys' old rows.
     """
+    if mode not in ("append", "upsert"):
+        raise ValueError(mode)
+    if mode == "upsert" and not key:
+        raise ValueError("mode='upsert' requires key=")
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)
-        if t.exists():
-            snap = t.current_snapshot()
-            if snap is not None:
-                last = snap["summary"].get("streaming-batch-id")
-                if last is not None and int(last) >= batch_id:
-                    return  # replayed batch: already committed
+        exists = t.exists() and t.current_snapshot() is not None
+        if exists:
+            last = t.current_snapshot()["summary"].get("streaming-batch-id")
+            if last is not None and int(last) >= batch_id:
+                return  # replayed batch: already committed
+        summ = {"streaming-batch-id": batch_id}
+        if mode == "upsert" and exists:
+            merge_upsert_iceberg_mor(
+                batch_df.sparkSession, location, batch_df, key=key,
+                summary=summ,
+            )
+            return
+        # first batch (nothing to delete against) or plain append mode
         write_iceberg(
             batch_df,
             location,
             partition_by=partition_by,
             mode="append",
-            summary={"streaming-batch-id": batch_id},
+            summary=summ,
         )
 
     return _write
@@ -485,6 +510,7 @@ def merge_upsert_iceberg_mor(
     delta: DataFrame,
     key: str,
     run_id: str | None = None,
+    summary: dict | None = None,
 ) -> int:
     """Merge-on-read MERGE: one atomic ``delete`` snapshot that
     equality-deletes the delta's keys AND appends the delta's rows.
@@ -516,7 +542,7 @@ def merge_upsert_iceberg_mor(
         delta.select(*base_cols), commit_dir, partition_by=spec_names or None
     )
     files = _stat_commit_dir(t, md, location, commit_dir)
-    summ = {"merge-mode": "merge-on-read"}
+    summ = {"merge-mode": "merge-on-read", **(summary or {})}
     if run_id is not None:
         summ["run_id"] = run_id
     return t.commit(files, operation="delete", delete_files=dels, summary=summ)

@@ -235,3 +235,107 @@ def test_expire_keeps_live_delete_files(spark, tmp_path):
     IcebergLocalTable(loc).expire_snapshots(keep_last=1)
     assert not any(os.path.exists(p) for p in live_dels)
     assert _ids(spark, loc) == list(range(4, 20))
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """mode='upsert' CDC sink: each batch is one atomic MOR merge; the
+    table converges to last-write-wins per key, replayed batches are
+    no-ops, and the whole run never rewrites a base data file."""
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    loc = str(tmp_path / "cdc")
+    sink = iceberg_sink(loc, mode="upsert", key="id")
+    b0 = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], "id bigint, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b1"), (4, "d1")], "id bigint, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2"), (1, "a2"), (5, "e2")], "id bigint, v string"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b2, 2)
+    want = {1: "a2", 2: "b2", 3: "c0", 4: "d1", 5: "e2"}
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
+    assert got == want
+    # at-least-once replay (same or older batch id) commits nothing
+    t = IcebergLocalTable(loc)
+    n = len(t.snapshots())
+    sink(b2, 2)
+    sink(b1, 1)
+    assert len(IcebergLocalTable(loc).snapshots()) == n
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()} == want
+    # MOR promise: batch 0's data file was never rewritten
+    ops = [s["summary"]["operation"] for s in IcebergLocalTable(loc).snapshots()]
+    assert ops == ["append", "delete", "delete"]
+    # maintenance: fold the CDC deltas, contents unchanged
+    compact_iceberg(spark, loc, target_file_bytes=1 << 30)
+    assert IcebergLocalTable(loc).scan_deletes() == []
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()} == want
+
+
+def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
+    """A real writeStream → foreachBatch(upsert sink) run: the table
+    equals a last-write-wins recompute of the CDC feed, across a
+    checkpoint restart."""
+    import pyspark.sql.functions as F
+
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "cdc_e2e")
+    ckpt = str(tmp_path / "ckpt")
+    # CDC feed: seq breaks ties; key collisions across files
+    feeds = [
+        [(i, f"v{i}@0", i) for i in range(20)],
+        [(i, f"v{i}@1", 100 + i) for i in range(10, 25)],
+    ]
+    for n, rows in enumerate(feeds):
+        spark.createDataFrame(
+            rows, "id bigint, v string, seqno bigint"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id bigint, v string, seqno bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(iceberg_sink(loc, mode="upsert", key="id"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # last-write-wins recompute straight from the feed files
+    raw = spark.read.parquet(src)
+    want = {
+        r["id"]: r["v"]
+        for r in raw.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("id")
+                .orderBy(F.desc("seqno"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
+    assert got == want and len(got) == 25
+    # restart on the same checkpoint, no new data → no new snapshots
+    n = len(IcebergLocalTable(loc).snapshots())
+    run()
+    assert len(IcebergLocalTable(loc).snapshots()) == n
+    # new CDC file arrives → picked up incrementally, still LWW
+    spark.createDataFrame(
+        [(0, "v0@2", 1000), (30, "v30@2", 1000)],
+        "id bigint, v string, seqno bigint",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
+    assert got[0] == "v0@2" and got[30] == "v30@2" and len(got) == 26
