@@ -524,28 +524,144 @@ def merge_upsert_iceberg_mor(
     periodic ``compact_iceberg``, COW for read-heavy tables.
     """
     t = IcebergLocalTable(location)
-    md = t.metadata()
     t.evolve_schema(delta.schema)
+    out = mor_replace_keys(
+        spark, location, delta.select(key).dropDuplicates(), delta, key,
+        summary={"merge-mode": "merge-on-read", **(summary or {})},
+        run_id=run_id,
+    )
+    if out is None:  # empty delta: nothing to delete, nothing to append
+        snap = t.current_snapshot()
+        return snap["snapshot-id"] if snap else -1
+    return out
+
+
+def mor_replace_keys(
+    spark: SparkSession,
+    location: str,
+    keys: DataFrame,
+    rows: DataFrame,
+    key: str,
+    run_id: str | None = None,
+    summary: dict | None = None,
+) -> int | None:
+    """One atomic MOR commit: equality-delete every row matching ``keys``
+    AND append ``rows`` — the general "replace these key groups" shape.
+
+    Unlike ``merge_upsert_iceberg_mor`` (whose delete set is exactly the
+    delta's keys), ``keys`` may cover key values with NO replacement rows
+    — a group that shrank to nothing still gets tombstoned. This is what
+    a derived table needs when its source is corrected at group
+    granularity: delete the group's old rows, append its recomputed rows,
+    atomically. Keys absent from the table are harmless (the equality
+    delete matches nothing). Returns the snapshot id, or None when both
+    sides are empty (no-op, no snapshot).
+    """
+    t = IcebergLocalTable(location)
     md = t.metadata()
     base_cols = [f["name"] for f in t._schema_struct(md)["fields"]]
     dels = _write_delete_files(
-        md, location, delta.select(key).dropDuplicates(),
+        md, location, keys.select(key).dropDuplicates(),
         content=2, equality_ids=_field_ids(t, md, [key]),
     )
-    if not dels:  # empty delta: nothing to delete, nothing to append
-        snap = t.current_snapshot()
-        return snap["snapshot-id"] if snap else -1
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
     spec_names = [pf["name"] for pf in t._spec_fields(md)]
     _write_parquet_micros(
-        delta.select(*base_cols), commit_dir, partition_by=spec_names or None
+        rows.select(*base_cols), commit_dir, partition_by=spec_names or None
     )
-    files = _stat_commit_dir(t, md, location, commit_dir)
-    summ = {"merge-mode": "merge-on-read", **(summary or {})}
+    files = [
+        f for f in _stat_commit_dir(t, md, location, commit_dir)
+        if f.record_count > 0
+    ]
+    if not dels and not files:
+        return None
+    summ = dict(summary or {})
     if run_id is not None:
         summ["run_id"] = run_id
+    if not dels:  # nothing to delete: a plain append commit
+        return t.commit(files, operation="append", summary=summ)
     return t.commit(files, operation="delete", delete_files=dels, summary=summ)
+
+
+def changed_keys_iceberg(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    key: str,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Distinct ``key`` values touched by any snapshot after
+    ``from_snapshot_id`` (exclusive) — the CDC "affected groups" scan a
+    derived-table maintainer runs when the range is not append-only.
+
+    Three sources, all O(changed files), never a base-table scan unless
+    an equality delete's columns don't determine ``key``:
+
+    - rows ADDED by each snapshot (appends and the append half of MOR
+      merges): read the new data files, project ``key``;
+    - position deletes: read the delete files' ``(file_path, pos)``,
+      join back to ONLY the named data files via ``_metadata`` to
+      recover the deleted rows' ``key``;
+    - equality deletes: the key file itself when ``key`` is among its
+      columns; otherwise a broadcast semi-join against the delete
+      snapshot's PARENT (time travel), the one case that re-reads the
+      table.
+    """
+    t = IcebergLocalTable(location)
+    ddl = t.spark_ddl()
+    parts: list[DataFrame] = []
+    for ch in t.snapshot_changes(from_snapshot_id, to_snapshot_id):
+        if ch["data_files"]:
+            # basePath so identity-partition columns (path-only) resolve
+            parts.append(
+                spark.read.schema(ddl)
+                .option("basePath", _data_dir(location))
+                .parquet(*[f.path for f in ch["data_files"]])
+                .select(key)
+            )
+        pos = [d for d in ch["delete_files"] if d.content == 1]
+        eqs = [d for d in ch["delete_files"] if d.content == 2]
+        if pos:
+            pdel = spark.read.parquet(*[d.path for d in pos]).select(
+                _strip_scheme(F.col("file_path")).alias("__fp"),
+                F.col("pos").alias("__pos"),
+            )
+            named = sorted({r["__fp"] for r in pdel.select("__fp")
+                            .distinct().collect()})
+            raw = (
+                spark.read.schema(ddl)
+                .option("basePath", _data_dir(location))
+                .parquet(*named)
+                .select(
+                    key,
+                    _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            )
+            parts.append(
+                raw.join(F.broadcast(pdel), ["__fp", "__pos"], "left_semi")
+                .select(key)
+            )
+        for d in eqs:
+            kdf = spark.read.parquet(d.path)
+            if key in kdf.columns:
+                parts.append(kdf.select(key))
+                continue
+            parent = ch["snapshot"].get("parent-snapshot-id")
+            if parent is None:
+                continue  # delete against an empty table matched nothing
+            prior = read_iceberg(spark, location, snapshot_id=parent)
+            cond = None
+            for c in kdf.columns:
+                e = prior[c].eqNullSafe(kdf[c])
+                cond = e if cond is None else (cond & e)
+            parts.append(
+                prior.join(F.broadcast(kdf), cond, "left_semi").select(key)
+            )
+    if not parts:
+        return spark.createDataFrame([], f"{key} string").select(key)
+    return reduce(DataFrame.unionByName, parts).distinct()
 
 
 def merge_upsert_iceberg(

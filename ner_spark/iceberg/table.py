@@ -1225,6 +1225,68 @@ class IcebergLocalTable:
                     )
         return out
 
+    def snapshot_changes(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Per-snapshot change sets after ``from_snapshot_id`` (exclusive)
+        — the CDC view a consumer needs when the range is NOT append-only
+        and ``scan_incremental`` refuses. Each entry is
+        ``{"snapshot", "operation", "data_files", "delete_files"}`` with
+        only the files ADDED by that snapshot (status=1 in its own
+        manifest list); ``replace`` (compaction) snapshots are skipped —
+        no logical change — and an ``overwrite`` still raises, because a
+        truncate-and-write breaks any delta representation.
+        """
+        md = self.metadata()
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"from snapshot {from_snapshot_id} not found")
+        if to_snapshot_id is None:
+            to_snapshot_id = md["current-snapshot-id"]
+        if to_snapshot_id not in snaps:
+            raise ValueError(f"to snapshot {to_snapshot_id} not found")
+        lo = snaps[from_snapshot_id]["sequence-number"]
+        hi = snaps[to_snapshot_id]["sequence-number"]
+        if hi < lo:
+            raise ValueError("to snapshot precedes from snapshot")
+        out: list[dict] = []
+        for s in sorted(
+            (s for s in snaps.values() if lo < s["sequence-number"] <= hi),
+            key=lambda s: s["sequence-number"],
+        ):
+            op = s["summary"]["operation"]
+            if op == "replace":
+                continue
+            if op == "overwrite":
+                raise ValueError(
+                    f"changes cross an overwrite snapshot "
+                    f"(seq {s['sequence-number']}); re-read the table"
+                )
+            ch = {"snapshot": s, "operation": op,
+                  "data_files": [], "delete_files": []}
+            _, _, manifests = avro_io.read_container(s["manifest-list"])
+            for m in manifests:
+                if m["sequence_number"] != s["sequence-number"]:
+                    continue  # carried forward from an older commit
+                _, _, entries = avro_io.read_container(m["manifest_path"])
+                for e in entries:
+                    if e["status"] != 1:
+                        continue
+                    d = e["data_file"]
+                    df = DataFile(
+                        path=d["file_path"],
+                        record_count=d["record_count"],
+                        file_size=d["file_size_in_bytes"],
+                        partition=dict(d["partition"]),
+                        content=d.get("content", 0),
+                        equality_ids=d.get("equality_ids"),
+                        sequence_number=e.get("sequence_number"),
+                    )
+                    key = "data_files" if df.content == 0 else "delete_files"
+                    ch[key].append(df)
+            out.append(ch)
+        return out
+
     def spark_ddl(self) -> str:
         return schema_to_spark_ddl(self._schema_struct(self.metadata()))
 

@@ -18,6 +18,18 @@ results — no full rebuild. The split follows the stages' algebra:
   Triples share the same recompute-from-state shape and are left to the
   batch pipeline (plans/kg.py) by the same cost argument.
 
+CDC repair: when the tick range carries merge-on-read row deltas
+(transcript corrections via ``merge_upsert_iceberg_mor(key='conv_id')``,
+GDPR erasures via ``delete_iceberg_where``), the pure append-delta can't
+express them, so the tick switches to conversation-granular repair:
+``changed_keys_iceberg`` recovers every touched conv_id from the range's
+change files (O(changed files)), the per-turn stages re-run over those
+conversations' CURRENT turns only, and each derived table replaces those
+conv groups in ONE atomic MOR commit (``mor_replace_keys`` — equality-
+delete the group, append its recomputed rows; a conversation erased at
+the source is tombstoned in the derived tables the same way). End state
+is pinned byte-equal to a from-scratch run (test_incremental_kg.py).
+
 Exactly-once consumption: each append to the mentions table stamps the
 SOURCE snapshot id it covers into its snapshot summary
 (``source-snapshot-id``); a tick that finds the stamp already at the
@@ -32,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ner_spark.iceberg.spark_io import (
+    changed_keys_iceberg,
+    mor_replace_keys,
     read_iceberg,
     read_iceberg_incremental,
     write_iceberg,
@@ -74,12 +88,35 @@ def incremental_kg_update(
     links_loc = f"{warehouse}/links"
     from_id = _last_source_snapshot(mentions_loc)
 
+    repair_keys = None  # non-None → CDC repair tick (corrections/deletes)
     if from_id == to_id:
         delta = None  # tick already applied (idempotent re-run)
     elif from_id is None:
         delta = read_iceberg(spark, transcripts_loc)  # first tick: full
     else:
-        delta = read_iceberg_incremental(spark, transcripts_loc, from_id, to_id)
+        ops = {
+            ch["operation"]
+            for ch in src.snapshot_changes(from_id, to_id)
+        }
+        if "delete" in ops:
+            # the range carries MOR row deltas (corrected conversations,
+            # GDPR erasures) — a pure append-delta cannot express them.
+            # Repair at conversation granularity: every conv_id touched
+            # by the range (added rows, position-deleted rows, equality
+            # keys) is re-derived from its CURRENT turns, and the derived
+            # tables replace those conv groups atomically (equality-
+            # delete the group + append its recomputed rows in ONE MOR
+            # commit). Cost is O(changed conversations), not O(table).
+            repair_keys = changed_keys_iceberg(
+                spark, transcripts_loc, from_id, "conv_id", to_id
+            )
+            delta = read_iceberg(
+                spark, transcripts_loc, snapshot_id=to_id
+            ).join(F.broadcast(repair_keys), "conv_id")
+        else:
+            delta = read_iceberg_incremental(
+                spark, transcripts_loc, from_id, to_id
+            )
 
     processed = 0
     if delta is not None:
@@ -91,15 +128,26 @@ def incremental_kg_update(
         # the mentions stamp un-advanced, so the rerun recomputes the
         # same delta — and the links stamp (already at to_id) tells it
         # to skip the links append instead of double-ingesting the batch.
-        if _last_source_snapshot(links_loc) != to_id:
-            write_iceberg(
-                links_delta, links_loc, mode="append",
+        if repair_keys is not None:
+            if _last_source_snapshot(links_loc) != to_id:
+                mor_replace_keys(
+                    spark, links_loc, repair_keys, links_delta, "conv_id",
+                    summary={"source-snapshot-id": to_id},
+                )
+            mor_replace_keys(
+                spark, mentions_loc, repair_keys, men_delta, "conv_id",
                 summary={"source-snapshot-id": to_id},
             )
-        write_iceberg(
-            men_delta, mentions_loc, mode="append",
-            summary={"source-snapshot-id": to_id},
-        )
+        else:
+            if _last_source_snapshot(links_loc) != to_id:
+                write_iceberg(
+                    links_delta, links_loc, mode="append",
+                    summary={"source-snapshot-id": to_id},
+                )
+            write_iceberg(
+                men_delta, mentions_loc, mode="append",
+                summary={"source-snapshot-id": to_id},
+            )
         processed = delta.count()
 
     # global refresh from accumulated links (cheap tail)
