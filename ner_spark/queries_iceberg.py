@@ -206,6 +206,102 @@ def iceberg_mor_delta(spark, sf):
 
 
 @register(
+    "iceberg_cdc_changed_keys",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey % 50 AS grp, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0),
+    d1 AS (  -- after the position DELETE WHERE o_totalprice < 30000
+      SELECT * FROM base WHERE NOT (o_totalprice < 30000.0)),
+    eq_keys AS (  -- equality delete by o_orderkey (non-key column)
+      SELECT o_orderkey FROM base WHERE o_orderkey % 40 = 0),
+    d2 AS (
+      SELECT * FROM d1 WHERE o_orderkey NOT IN (SELECT * FROM eq_keys)),
+    delta AS (
+      SELECT 1000000 + g AS o_orderkey, g AS grp, 1.0 AS o_totalprice
+      FROM (SELECT 1 AS g UNION ALL SELECT 2)),
+    final AS (
+      SELECT * FROM d2 WHERE grp NOT IN (1, 2)
+      UNION ALL SELECT * FROM delta),
+    touched AS (
+      SELECT DISTINCT grp FROM (
+        SELECT grp FROM base WHERE o_totalprice < 30000.0
+        UNION ALL
+        SELECT grp FROM d1 WHERE o_orderkey % 40 = 0
+        UNION ALL SELECT 1 UNION ALL SELECT 2))
+    SELECT t.grp,
+           COALESCE(f.n_rows, 0) AS n_rows,
+           f.sum_price
+    FROM touched t LEFT JOIN (
+      SELECT grp, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM final GROUP BY grp) f ON t.grp = f.grp
+    """,
+)
+def iceberg_cdc_changed_keys(spark, sf):
+    """CDC change tracking over merge-on-read history: after a position
+    DELETE WHERE, an equality delete on a NON-key column (whose group
+    must be recovered via the parent-snapshot semi-join), and a MOR
+    group upsert, `changed_keys_iceberg` must name exactly the touched
+    groups — and the final per-group state, read merge-on-read, must
+    match the relational reconstruction. Tombstone-visibility included:
+    a touched group with zero surviving rows stays in the output with
+    n_rows=0 (the left join), which is what a derived-table maintainer
+    needs to propagate erasures.
+
+    Scale shape: key recovery reads only the range's change files (new
+    data files, position-delete ordinals joined back to the named files,
+    equality-key files); the one table re-read is the documented
+    parent-snapshot fallback for equality deletes that don't carry the
+    key — at 10^12 turns you key your CDC by the group column precisely
+    to avoid it.
+    """
+    from ner_spark.iceberg.spark_io import (
+        changed_keys_iceberg,
+        delete_iceberg_keys,
+        delete_iceberg_where,
+        merge_upsert_iceberg_mor,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 50).alias("grp"),
+        "o_totalprice",
+    )
+    key = F.col("o_orderkey")
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/orders_cdc"
+    s0 = write_iceberg(o.where(key % 4 == 0), loc, run_id="c0")
+    delete_iceberg_where(spark, loc, [("o_totalprice", "<", 30000.0)])
+    delete_iceberg_keys(
+        spark, loc,
+        o.where((key % 4 == 0) & (key % 40 == 0)).select("o_orderkey"),
+    )
+    delta = spark.createDataFrame(
+        [(1000000 + g, g, 1.0) for g in (1, 2)],
+        "o_orderkey bigint, grp bigint, o_totalprice double",
+    )
+    merge_upsert_iceberg_mor(spark, loc, delta, key="grp")
+
+    changed = changed_keys_iceberg(spark, loc, s0, "grp")
+    final = (
+        read_iceberg(spark, loc)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dsum("o_totalprice", "sum_price"),
+        )
+    )
+    return changed.join(final, "grp", "left").select(
+        "grp",
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        "sum_price",
+    )
+
+
+@register(
     "iceberg_pruned_scan",
     """
     SELECT l_linestatus, COUNT(*) AS n_rows,
