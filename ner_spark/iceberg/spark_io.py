@@ -22,6 +22,7 @@ bare directory.
 from __future__ import annotations
 
 import os
+import shutil
 import urllib.parse
 from functools import reduce
 
@@ -311,6 +312,7 @@ def iceberg_sink(
     partition_by: list[str] | None = None,
     mode: str = "append",
     key: str | None = None,
+    order_by: str | None = None,
 ):
     """Exactly-once streaming sink: ``writeStream.foreachBatch(iceberg_sink(loc))``.
 
@@ -329,11 +331,33 @@ def iceberg_sink(
     ``compact_iceberg`` folding the accumulated deltas on maintenance
     windows. This is why streaming writers emit equality deletes: the
     batch cannot know which data files hold its keys' old rows.
+
+    A CDC feed can carry several events for one key INSIDE one
+    micro-batch, and the strict-sequence rule cannot order rows that
+    land at the same commit — so each batch is reduced to one row per
+    key before the merge. Pass ``order_by`` (the feed's event-order
+    column, e.g. a CDC LSN or event timestamp) to keep the LAST event
+    per key; without it the surviving row is an arbitrary member of the
+    key group (documented, same as dropDuplicates).
     """
     if mode not in ("append", "upsert"):
         raise ValueError(mode)
     if mode == "upsert" and not key:
         raise ValueError("mode='upsert' requires key=")
+    if order_by and mode != "upsert":
+        raise ValueError("order_by only applies to mode='upsert'")
+
+    def _last_per_key(df: DataFrame) -> DataFrame:
+        if order_by is None:
+            return df.dropDuplicates([key])
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(order_by).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)
@@ -343,6 +367,8 @@ def iceberg_sink(
             if last is not None and int(last) >= batch_id:
                 return  # replayed batch: already committed
         summ = {"streaming-batch-id": batch_id}
+        if mode == "upsert":
+            batch_df = _last_per_key(batch_df)
         if mode == "upsert" and exists:
             merge_upsert_iceberg_mor(
                 batch_df.sparkSession, location, batch_df, key=key,
@@ -406,12 +432,16 @@ def _write_delete_files(
     and return stat'd :class:`DataFile` entries (content 1 or 2) ready for
     ``commit(operation='delete')``. Returns ``[]`` when ``df`` is empty —
     callers skip the commit entirely (an empty row delta is a no-op, not
-    a snapshot)."""
+    a snapshot) — and the empty ``seq=N`` dir is removed again: nothing
+    commits, so the NEXT commit recomputes the same sequence number and
+    its own ``errorifexists`` write must find the path free."""
     seq = md["last-sequence-number"] + 1
     out_dir = os.path.join(_deletes_dir(location), f"seq={seq}")
     _write_parquet_micros(df, out_dir, coalesce=n_files)
     files = collect_parquet_stats(_list_parquet(out_dir))
     files = [f for f in files if f.record_count > 0]
+    if not files:
+        shutil.rmtree(out_dir, ignore_errors=True)
     for f in files:
         f.content = content
         f.equality_ids = list(equality_ids) if equality_ids else None
@@ -522,6 +552,12 @@ def merge_upsert_iceberg_mor(
     (copy-on-write), which rewrites the table but leaves readers
     delete-free. The classic trade: MOR for write-heavy CDC ingest with
     periodic ``compact_iceberg``, COW for read-heavy tables.
+
+    ``delta`` must carry at most one row per ``key`` (Iceberg MERGE's
+    multiple-match rule): duplicate keys land at the SAME sequence, so
+    the strict-sequence equality delete can order neither against the
+    other and both would survive. The CDC sink pre-reduces its batches
+    (``iceberg_sink(mode='upsert', order_by=...)``).
     """
     t = IcebergLocalTable(location)
     t.evolve_schema(delta.schema)
@@ -574,6 +610,11 @@ def mor_replace_keys(
         f for f in _stat_commit_dir(t, md, location, commit_dir)
         if f.record_count > 0
     ]
+    if not files:
+        # zero-row commit dir: remove it so the sequence number stays
+        # free for the next commit's errorifexists write (delete-only
+        # commits reference nothing under data/seq=N)
+        shutil.rmtree(commit_dir, ignore_errors=True)
     if not dels and not files:
         return None
     summ = dict(summary or {})
@@ -660,7 +701,8 @@ def changed_keys_iceberg(
                 prior.join(F.broadcast(kdf), cond, "left_semi").select(key)
             )
     if not parts:
-        return spark.createDataFrame([], f"{key} string").select(key)
+        # typed from the table schema, not a hardcoded string
+        return spark.createDataFrame([], ddl).select(key)
     return reduce(DataFrame.unionByName, parts).distinct()
 
 
@@ -676,7 +718,9 @@ def merge_upsert_iceberg(
     The rewrite is the same plan as Iceberg's copy-on-write MERGE bet:
     the delta is broadcast (CDC batches are small next to the table) and
     the base never shuffles. Commits an ``overwrite`` snapshot, so the
-    pre-merge state stays time-travelable.
+    pre-merge state stays time-travelable. ``delta`` must carry at most
+    one row per ``key`` (Iceberg MERGE's multiple-match rule — duplicate
+    delta keys would all survive the anti-join-and-union).
     """
     base = read_iceberg(spark, location)
     merged = base.join(

@@ -1225,6 +1225,31 @@ class IcebergLocalTable:
                     )
         return out
 
+    def operations_between(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> set[str]:
+        """Snapshot operations in (from, to] from table metadata alone —
+        no manifest IO. The cheap pre-check that routes a consumer to
+        ``scan_incremental`` (append-only range) vs ``snapshot_changes``
+        (row deltas present) without paying either walk."""
+        md = self.metadata()
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"from snapshot {from_snapshot_id} not found")
+        if to_snapshot_id is None:
+            to_snapshot_id = md["current-snapshot-id"]
+        if to_snapshot_id not in snaps:
+            raise ValueError(f"to snapshot {to_snapshot_id} not found")
+        lo = snaps[from_snapshot_id]["sequence-number"]
+        hi = snaps[to_snapshot_id]["sequence-number"]
+        if hi < lo:
+            raise ValueError("to snapshot precedes from snapshot")
+        return {
+            s["summary"]["operation"]
+            for s in snaps.values()
+            if lo < s["sequence-number"] <= hi
+        }
+
     def snapshot_changes(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> list[dict]:

@@ -94,10 +94,7 @@ def incremental_kg_update(
     elif from_id is None:
         delta = read_iceberg(spark, transcripts_loc)  # first tick: full
     else:
-        ops = {
-            ch["operation"]
-            for ch in src.snapshot_changes(from_id, to_id)
-        }
+        ops = src.operations_between(from_id, to_id)
         if "delete" in ops:
             # the range carries MOR row deltas (corrected conversations,
             # GDPR erasures) — a pure append-delta cannot express them.

@@ -144,7 +144,8 @@ def test_mor_merge_matches_copy_on_write(spark, tmp_path):
         for loc in (mor, cow)
     }
     assert got[mor] == got[cow]
-    assert ("5", ) not in got[mor] and (5, "V5", 2) in got[mor]
+    # key 5's pre-merge row is gone, its merged row present
+    assert (5, "v5", 2) not in got[mor] and (5, "V5", 2) in got[mor]
     # MOR committed ONE atomic snapshot carrying both halves
     t = IcebergLocalTable(mor)
     snap = t.current_snapshot()
@@ -339,3 +340,75 @@ def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
     run()
     got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
     assert got[0] == "v0@2" and got[30] == "v30@2" and len(got) == 26
+
+
+def test_empty_delta_leaves_sequence_free(spark, tmp_path):
+    """An empty row-delta no-op must not strand a ``seq=N`` directory:
+    the next commit recomputes the same sequence number and its
+    errorifexists write needs the path free."""
+    loc = str(tmp_path / "seqfree")
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    empty = spark.createDataFrame([], "id bigint")
+    assert delete_iceberg_keys(spark, loc, empty) is None
+    # empty MOR merge: writes (then must clean) BOTH the deletes/ and
+    # data/ side of the would-be commit
+    merge_upsert_iceberg_mor(spark, loc, empty, key="id")
+    assert delete_iceberg_where(spark, loc, [("id", ">=", 99)]) is None
+    # the same sequence number must now commit cleanly, all kinds
+    write_iceberg(spark.range(10, 15).selectExpr("id"), loc, mode="append")
+    delete_iceberg_where(spark, loc, [("id", "<", 2)])
+    merge_upsert_iceberg_mor(
+        spark, loc,
+        spark.createDataFrame([(2,)], "id bigint"), key="id",
+    )
+    assert _ids(spark, loc) == list(range(2, 15))
+    # and the streaming sink survives an empty micro-batch mid-feed
+    sloc = str(tmp_path / "seqfree_sink")
+    sink = iceberg_sink_upsert = __import__(
+        "ner_spark.iceberg.spark_io", fromlist=["iceberg_sink"]
+    ).iceberg_sink(sloc, mode="upsert", key="id")
+    sink(spark.createDataFrame([(1, "a")], "id bigint, v string"), 0)
+    sink(spark.createDataFrame([], "id bigint, v string"), 1)
+    sink(spark.createDataFrame([(2, "b")], "id bigint, v string"), 2)
+    assert _ids(spark, sloc) == [1, 2]
+
+
+def test_upsert_sink_intra_batch_duplicates(spark, tmp_path):
+    """Several CDC events for one key INSIDE one micro-batch: the sink
+    reduces to one row per key before the merge — last-per-``order_by``
+    when given, exactly-one otherwise — because same-commit rows cannot
+    be ordered by the strict-sequence rule."""
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    loc = str(tmp_path / "dup")
+    sink = iceberg_sink(loc, mode="upsert", key="id", order_by="seqno")
+    b0 = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "x", 1)],
+        "id bigint, v string, seqno bigint",
+    )
+    sink(b0, 0)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
+    assert got == {1: "b", 2: "x"}
+    # later event listed FIRST in the frame still wins by seqno
+    b1 = spark.createDataFrame(
+        [(1, "c", 5), (1, "d", 4)], "id bigint, v string, seqno bigint"
+    )
+    sink(b1, 1)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, loc).collect()}
+    assert got == {1: "c", 2: "x"}
+    # no duplicate rows survive even after compaction folds the deltas
+    compact_iceberg(spark, loc, target_file_bytes=1 << 30)
+    assert read_iceberg(spark, loc).count() == 2
+
+    # without order_by: exactly one (arbitrary) row per key
+    loc2 = str(tmp_path / "dup2")
+    sink2 = iceberg_sink(loc2, mode="upsert", key="id")
+    sink2(b0, 0)
+    cnt = (
+        read_iceberg(spark, loc2).groupBy("id").count()
+        .agg({"count": "max"}).collect()[0][0]
+    )
+    assert cnt == 1
+    # order_by outside upsert mode is rejected loudly
+    with pytest.raises(ValueError, match="order_by"):
+        iceberg_sink(loc2, order_by="seqno")
