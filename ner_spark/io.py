@@ -192,10 +192,18 @@ def merge_upsert(
     key: str,
     fmt: str = FMT,
     run_id: str | None = None,
+    strategy: str = "cow",
 ) -> None:
     """MERGE INTO emulation: upsert ``delta`` into ``target`` by ``key``
     (matched rows replaced, unmatched inserted) — the CDC-apply operation
     an incremental KG warehouse runs every micro-batch.
+
+    ``strategy`` picks the physical merge on the iceberg-local branch:
+    ``'cow'`` (default) rewrites the table copy-on-write — read-optimized;
+    ``'mor'`` commits the delta as one merge-on-read snapshot (equality
+    delete + append, O(delta)) — write-optimized, folded back by
+    compaction. Other formats are copy-on-write by construction and
+    reject ``'mor'`` loudly.
 
     Iceberg branch: a real ``MERGE INTO`` (copy-on-write/merge-on-read is
     the table's own property); delta is exposed as a temp view.
@@ -210,6 +218,13 @@ def merge_upsert(
     as "stage incomplete, recompute" — the same crash contract every
     other stage write has.
     """
+    if strategy not in ("cow", "mor"):
+        raise ValueError(strategy)
+    if strategy == "mor" and fmt != "iceberg-local":
+        raise ValueError(
+            "strategy='mor' needs fmt='iceberg-local' (row-delta files); "
+            f"fmt={fmt!r} merges copy-on-write by construction"
+        )
     if fmt == "iceberg":
         delta.createOrReplaceTempView("__merge_delta")
         cols = delta.columns
@@ -222,9 +237,14 @@ def merge_upsert(
         )
         return
     if fmt == "iceberg-local":
-        from ner_spark.iceberg.spark_io import merge_upsert_iceberg
+        from ner_spark.iceberg.spark_io import (
+            merge_upsert_iceberg,
+            merge_upsert_iceberg_mor,
+        )
 
-        merge_upsert_iceberg(spark, target, delta, key, run_id=run_id)
+        fn = merge_upsert_iceberg_mor if strategy == "mor" \
+            else merge_upsert_iceberg
+        fn(spark, target, delta, key, run_id=run_id)
         return
     import shutil
 

@@ -205,3 +205,58 @@ class TestMergeUpsert:
         assert "MERGE INTO wh.orders t" in captured["sql"]
         assert "WHEN MATCHED THEN UPDATE SET t.price = s.price" in captured["sql"]
         assert "WHEN NOT MATCHED THEN INSERT (k, price)" in captured["sql"]
+
+
+class TestMergeStrategy:
+    def test_mor_strategy_on_iceberg_local(self, spark, tmp_path):
+        """strategy='mor' through the io facade: same logical result as
+        copy-on-write, but committed as a merge-on-read delete snapshot
+        (no base data file rewritten)."""
+        from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+        from ner_spark.iceberg.table import IcebergLocalTable
+
+        base = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+        )
+        delta = spark.createDataFrame(
+            [(2, 99.0), (4, 40.0)], "k long, price double"
+        )
+        locs = {}
+        for strat in ("cow", "mor"):
+            loc = str(tmp_path / strat)
+            write_iceberg(base, loc)
+            data_files = {f.path for f in IcebergLocalTable(loc).scan()}
+            nio.merge_upsert(
+                spark, loc, delta, "k", fmt="iceberg-local", strategy=strat
+            )
+            locs[strat] = sorted(
+                (r["k"], r["price"])
+                for r in read_iceberg(spark, loc).collect()
+            )
+            op = IcebergLocalTable(loc).current_snapshot()["summary"][
+                "operation"
+            ]
+            if strat == "mor":
+                assert op == "delete"
+                # MOR promise: base data files untouched
+                assert data_files <= {
+                    f.path for f in IcebergLocalTable(loc).scan()
+                }
+            else:
+                assert op == "overwrite"
+        assert locs["cow"] == locs["mor"] == [
+            (1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)
+        ]
+
+    def test_mor_strategy_rejected_off_iceberg_local(self, spark, tmp_path):
+        delta = spark.createDataFrame([(1, 1.0)], "k long, price double")
+        with pytest.raises(ValueError, match="iceberg-local"):
+            nio.merge_upsert(
+                spark, str(tmp_path / "x"), delta, "k",
+                fmt="parquet", strategy="mor",
+            )
+        with pytest.raises(ValueError, match="bogus"):
+            nio.merge_upsert(
+                spark, str(tmp_path / "x"), delta, "k",
+                fmt="iceberg-local", strategy="bogus",
+            )
