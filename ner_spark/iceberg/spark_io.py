@@ -29,10 +29,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ner_spark.iceberg import transforms
 from ner_spark.iceberg.table import (
     DataFile,
     IcebergLocalTable,
     collect_parquet_stats,
+    partition_result_type,
 )
 
 
@@ -123,25 +125,53 @@ def _write_parquet_micros(
 def _stat_commit_dir(
     t: IcebergLocalTable, md: dict, location: str, commit_dir: str
 ) -> list[DataFile]:
-    """Footer stats for a freshly written data commit dir, with identity
-    partition values recovered from the hive segments and mirrored into
-    the (path-only) partition column's bounds."""
+    """Footer stats for a freshly written data commit dir, with partition
+    values recovered from the hive segments (typed by each transform's
+    RESULT type) and identity values mirrored into the (path-only)
+    partition column's bounds."""
     struct = t._schema_struct(md)
-    types = {
-        f["name"]: f["type"] for f in struct["fields"]
-        if isinstance(f["type"], str)
-    }
-    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    spec = t._spec_fields(md)
     parser = _partition_parser(_data_dir(location), {
-        c: types.get(c, "string") for c in spec_names
+        pf["name"]: partition_result_type(pf, struct) for pf in spec
     })
+    identity = {
+        pf["name"] for pf in spec
+        if pf.get("transform", "identity") == "identity"
+    }
     files = collect_parquet_stats(_list_parquet(commit_dir), parser)
     for f in files:
         for c, v in f.partition.items():
-            if v is not None:
+            if v is not None and c in identity:
                 f.lower_bounds.setdefault(c, v)
                 f.upper_bounds.setdefault(c, v)
     return files
+
+
+def _partition_projection(
+    t: IcebergLocalTable, md: dict, df: DataFrame
+) -> tuple[DataFrame, list[str]]:
+    """Materialize the table's partition spec as write-side columns:
+    identity fields are the source column itself (path-only, recovered on
+    read); transform fields (``ts_day``, ``conv_id_bucket``, …) are
+    DERIVED columns computed here — built-in exprs where Spark has them,
+    Arrow-batched numpy murmur3 for bucket — and exist only in the hive
+    path, never in file contents or the read schema: hidden partitioning.
+    Every data commit MUST write through this projection so all commit
+    dirs share one layout (Spark's partition discovery rejects mixed
+    depths)."""
+    struct = t._schema_struct(md)
+    by_id = {f["id"]: f for f in struct["fields"]}
+    names = []
+    for pf in t._spec_fields(md):
+        names.append(pf["name"])
+        tr = pf.get("transform", "identity")
+        if tr != "identity":
+            src = by_id[pf["source-id"]]
+            df = df.withColumn(
+                pf["name"],
+                transforms.spark_partition_column(tr, src["name"], src["type"]),
+            )
+    return df, names
 
 
 def write_iceberg(
@@ -170,7 +200,7 @@ def write_iceberg(
     md = t.metadata()
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
-    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    df, spec_names = _partition_projection(t, md, df)
     _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
     files = _stat_commit_dir(t, md, location, commit_dir)
     summ = dict(summary or {})
@@ -413,7 +443,15 @@ def compact_iceberg(
     md = t.metadata()
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
-    _write_parquet_micros(df, commit_dir, coalesce=n_out)
+    # compaction must keep the table's partition LAYOUT: Spark's
+    # partition discovery rejects mixed dir depths, so an unpartitioned
+    # rewrite would poison every later partitioned append. With a spec,
+    # coalesce(n) bounds write parallelism and files bin-pack per
+    # partition (real Iceberg's rewrite_data_files is per-partition too).
+    df, spec_names = _partition_projection(t, md, df)
+    _write_parquet_micros(
+        df, commit_dir, partition_by=spec_names or None, coalesce=n_out
+    )
     new_files = _stat_commit_dir(t, md, location, commit_dir)
     t.commit(new_files, operation="replace",
              summary={"compaction-target-bytes": target_file_bytes})
@@ -602,9 +640,9 @@ def mor_replace_keys(
     )
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
-    spec_names = [pf["name"] for pf in t._spec_fields(md)]
+    rows2, spec_names = _partition_projection(t, md, rows.select(*base_cols))
     _write_parquet_micros(
-        rows.select(*base_cols), commit_dir, partition_by=spec_names or None
+        rows2, commit_dir, partition_by=spec_names or None
     )
     files = [
         f for f in _stat_commit_dir(t, md, location, commit_dir)
@@ -726,13 +764,6 @@ def merge_upsert_iceberg(
     merged = base.join(
         F.broadcast(delta.select(key)), key, "left_anti"
     ).unionByName(delta.select(*base.columns))
-    t = IcebergLocalTable(location)
-    md = t.metadata()
-    spec_names = [pf["name"] for pf in t._spec_fields(md)]
-    return write_iceberg(
-        merged,
-        location,
-        partition_by=spec_names or None,
-        mode="overwrite",
-        run_id=run_id,
-    )
+    # the table exists (we just read it): write_iceberg takes its spec —
+    # including any partition transforms — from the table metadata
+    return write_iceberg(merged, location, mode="overwrite", run_id=run_id)

@@ -294,13 +294,25 @@ def _bounds_map(map_name: str, kid: int, vid: int) -> dict:
     }
 
 
-def _partition_avro_fields(spec_fields: list[dict], schema_struct: dict) -> list:
-    """Avro fields for the r102 partition record (identity transforms)."""
+def partition_result_type(pf: dict, schema_struct: dict) -> str:
+    """Iceberg type of one partition field's values — the TRANSFORM's
+    result type (``bucket``/temporal → int, ``truncate`` → source type),
+    which is what the partition record, manifest summaries, and hive dir
+    values all carry."""
+    from ner_spark.iceberg import transforms as T
+
     by_id = {f["id"]: f for f in schema_struct["fields"]}
+    return T.result_type(
+        pf.get("transform", "identity"), by_id[pf["source-id"]]["type"]
+    )
+
+
+def _partition_avro_fields(spec_fields: list[dict], schema_struct: dict) -> list:
+    """Avro fields for the r102 partition record, typed by each
+    transform's RESULT type."""
     out = []
     for pf in spec_fields:
-        src = by_id[pf["source-id"]]
-        t = src["type"]
+        t = partition_result_type(pf, schema_struct)
         avro_t = {
             "int": "int", "date": {"type": "int", "logicalType": "date"},
             "long": "long", "string": "string", "double": "double",
@@ -575,18 +587,25 @@ class IcebergLocalTable:
         t = cls(location)
         if t.exists():
             raise FileExistsError(location)
+        from ner_spark.iceberg import transforms as T
+
         struct, last_id = schema_from_spark(spark_schema)
         struct["schema-id"] = 0
         by_name = {f["name"]: f for f in struct["fields"]}
         spec_fields = []
-        for i, col in enumerate(partition_by or []):
-            if col not in by_name:
-                raise ValueError(f"partition column {col!r} not in schema")
+        for i, expr in enumerate(partition_by or []):
+            src, transform = T.parse_partition_field(expr)
+            if src not in by_name:
+                raise ValueError(f"partition column {src!r} not in schema")
+            st = by_name[src]["type"]
+            if not isinstance(st, str):
+                raise ValueError(f"cannot partition by nested column {src!r}")
+            T.result_type(transform, st)  # validates transform × type
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
-                    "source-id": by_name[col]["id"],
+                    "name": T.default_field_name(src, transform),
+                    "transform": transform,
+                    "source-id": by_name[src]["id"],
                     "field-id": 1000 + i,
                 }
             )
@@ -813,18 +832,16 @@ class IcebergLocalTable:
         if spec_fields:
             summaries = []
             for pf in spec_fields:
-                src = by_name[pf["name"]]
+                rt = partition_result_type(pf, struct)
                 vals = [f.partition.get(pf["name"]) for f in files]
                 non_null = [v for v in vals if v is not None]
                 lo = (
-                    encode_single(
-                        src["type"], truncate_lower(src["type"], min(non_null))
-                    )
+                    encode_single(rt, truncate_lower(rt, min(non_null)))
                     if non_null
                     else None
                 )
                 hi_v = (
-                    truncate_upper(src["type"], max(non_null)) if non_null else None
+                    truncate_upper(rt, max(non_null)) if non_null else None
                 )
                 summaries.append(
                     {
@@ -832,7 +849,7 @@ class IcebergLocalTable:
                         "contains_nan": None,
                         "lower_bound": lo,
                         "upper_bound": (
-                            encode_single(src["type"], hi_v)
+                            encode_single(rt, hi_v)
                             if hi_v is not None
                             else None
                         ),
@@ -998,11 +1015,41 @@ class IcebergLocalTable:
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         if snap is None:
             return []
+        from ner_spark.iceberg import transforms as T
+
         struct = self._schema_struct(md)
         by_name = {f["name"]: f for f in struct["fields"]}
         by_id = {f["id"]: f for f in struct["fields"]}
         spec_fields = self._spec_fields(md)
-        spec_by_name = {pf["name"]: i for i, pf in enumerate(spec_fields)}
+        # source column name → [(spec index, spec field, result type)]:
+        # a predicate on the SOURCE column prunes via every transform of
+        # it in the spec — hidden partitioning (queries never name
+        # ts_day; ``ts >= c`` prunes because day() is order-preserving,
+        # ``conv_id = c`` prunes because bucket() preserves equality)
+        specs_by_src: dict[str, list] = {}
+        for i, pf in enumerate(spec_fields):
+            src = by_id[pf["source-id"]]["name"]
+            specs_by_src.setdefault(src, []).append(
+                (i, pf, partition_result_type(pf, struct))
+            )
+
+        def _transform_prune(op: str, val, pf: dict, src_type: str):
+            """(transformed value, effective op) for one predicate against
+            one partition field; (None, None) = transform can't serve op.
+
+            Strict ops weaken on a non-identity transform: ``ts < c``
+            prunes with ``day(ts) <= day(c)`` because rows in the
+            boundary partition can still satisfy the original predicate.
+            """
+            tr = pf.get("transform", "identity")
+            if tr == "identity":
+                return val, op
+            if T.is_order_preserving(tr):
+                eff = {"<": "<=", ">": ">="}.get(op, op)
+                return T.apply_transform(tr, src_type, val), eff
+            if op == "=":  # bucket: equality only
+                return T.apply_transform(tr, src_type, val), "="
+            return None, None
         # normalize temporal filter values to the bounds' wire units
         # (micros / days) so timestamp and date predicates prune files
         import datetime as _dt
@@ -1028,24 +1075,39 @@ class IcebergLocalTable:
             if not parts:
                 return True
             for col, op, val in filters:
-                i = spec_by_name.get(col)
-                if i is None or i >= len(parts):
-                    continue
-                s = parts[i]
-                t = by_name[col]["type"]
-                lo = decode_single(t, s.get("lower_bound"))
-                hi = decode_single(t, s.get("upper_bound"))
-                if not _range_may_match(op, val, lo, hi, s.get("contains_null")):
-                    return False
+                src_type = by_name[col]["type"] if col in by_name else None
+                for i, pf, rt in specs_by_src.get(col, []):
+                    if i >= len(parts):
+                        continue
+                    tv, eff = _transform_prune(op, val, pf, src_type)
+                    if eff is None:
+                        continue
+                    s = parts[i]
+                    lo = decode_single(rt, s.get("lower_bound"))
+                    hi = decode_single(rt, s.get("upper_bound"))
+                    if not _range_may_match(eff, tv, lo, hi, s.get("contains_null")):
+                        return False
             return True
 
         def _file_may_match(entry: dict) -> bool:
             dfile = entry["data_file"]
             for col, op, val in filters:
-                # identity partition value is exact, not a range
-                if col in dfile["partition"] and dfile["partition"][col] is not None:
-                    if not _cmp(op, dfile["partition"][col], val):
+                # partition values are exact per file: apply the same
+                # transform to the predicate constant and compare
+                pruned = False
+                src_type = by_name[col]["type"] if col in by_name else None
+                for _i, pf, _rt in specs_by_src.get(col, []):
+                    pv = dfile["partition"].get(pf["name"])
+                    if pv is None:  # compacted/legacy file: no dir value
+                        continue
+                    tv, eff = _transform_prune(op, val, pf, src_type)
+                    if eff is None:
+                        continue
+                    if not _cmp(eff, pv, tv):
                         return False
+                    if pf.get("transform", "identity") == "identity":
+                        pruned = True  # exact value: bounds check redundant
+                if pruned:
                     continue
                 f = by_name.get(col)
                 if f is None or not isinstance(f["type"], str):

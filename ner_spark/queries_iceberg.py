@@ -342,3 +342,69 @@ def iceberg_pruned_scan(spark, sf):
         F.count("*").alias("n_rows"),
         _dsum("l_extendedprice", "sum_price"),
     )
+
+
+@register(
+    "iceberg_hidden_partitioning",
+    """
+    WITH day_range AS (
+      SELECT 'day_range' AS probe, event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY event_type),
+    bucket_eq AS (
+      SELECT 'bucket_eq' AS probe, event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id = 7
+      GROUP BY event_type)
+    SELECT * FROM day_range UNION ALL SELECT * FROM bucket_eq
+    """,
+)
+def iceberg_hidden_partitioning(spark, sf):
+    """Hidden partitioning end-to-end: the table is laid out by DERIVED
+    partition values — ``days(ts)`` and ``bucket(8, user_id)`` (spec
+    murmur3, Appendix-B bit-exact) — that no query ever names. Both
+    probes predicate on the SOURCE columns only; the scan planner applies
+    the same transforms to the predicate constants and prunes partitions
+    (a time-range touches only its day dirs; a user equality touches 1/8
+    of the buckets). The DuckDB oracle recomputes both aggregates from
+    the raw parquet, so a transform mismatch between the write side
+    (vectorized numpy murmur3 / unix_micros floor-div) and the planner
+    (pure-python spec transforms) — or pruning that drops a live file —
+    is a value mismatch, not just a plan difference.
+
+    Scale shape: this is THE layout for a 10^12-turn transcript table —
+    ``days(ts)`` bounds every incremental tick's scan to the new days,
+    ``bucket(N, conv_id)`` makes single-conversation repairs O(1/N) —
+    and the pruning decisions are made from manifest metadata before any
+    data file opens.
+    """
+    import datetime as dt
+
+    from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_hp_") + "/events_tbl"
+    # one writer task → one file per partition dir (small fixture; a real
+    # table would repartition by the spec before the write instead)
+    write_iceberg(
+        ev.coalesce(1), loc, partition_by=["days(ts)", "bucket(8, user_id)"]
+    )
+
+    def probe(tag, filters):
+        return (
+            read_iceberg(spark, loc, filters=filters)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"), _dsum("value", "sum_value"))
+            .select(F.lit(tag).alias("probe"), "event_type", "n_rows",
+                    "sum_value")
+        )
+
+    lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)
+    return probe("day_range", [("ts", ">=", lo), ("ts", "<", hi)]).unionAll(
+        probe("bucket_eq", [("user_id", "=", 7)])
+    )
