@@ -216,6 +216,9 @@ def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
     by Catalyst)."""
     for col, op, val in filters or []:
         c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(val)))
+            continue
         df = df.filter(
             {"=": c == val, "<": c < val, "<=": c <= val,
              ">": c > val, ">=": c >= val}[op]

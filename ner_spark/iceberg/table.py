@@ -1005,11 +1005,13 @@ class IcebergLocalTable:
     ) -> list[DataFile]:
         """Resolve (snapshot, filters) → pruned list of data files.
 
-        ``filters``: [(col, op, value)] with op in =, <, <=, >, >=;
-        conjunctive. Pruning uses identity partition values, manifest
-        partition summaries, and file bounds — files that MAY match
-        survive, exactly Iceberg's contract (the engine re-applies the
-        residual predicate; Spark does on the parquet scan).
+        ``filters``: [(col, op, value)] with op in =, <, <=, >, >=, in
+        (value = list of candidates); conjunctive. Pruning uses partition
+        values (through the spec's transforms — hidden partitioning:
+        predicates name SOURCE columns only), manifest partition
+        summaries, and file bounds — files that MAY match survive,
+        exactly Iceberg's contract (the engine re-applies the residual
+        predicate; Spark does on the parquet scan).
         """
         md = self.metadata()
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
@@ -1044,6 +1046,9 @@ class IcebergLocalTable:
             tr = pf.get("transform", "identity")
             if tr == "identity":
                 return val, op
+            if op == "in":  # a disjunction of equalities: every
+                # transform serves it, bucket included
+                return [T.apply_transform(tr, src_type, v) for v in val], "in"
             if T.is_order_preserving(tr):
                 eff = {"<": "<=", ">": ">="}.get(op, op)
                 return T.apply_transform(tr, src_type, val), eff
@@ -1054,19 +1059,28 @@ class IcebergLocalTable:
         # (micros / days) so timestamp and date predicates prune files
         import datetime as _dt
 
-        norm = []
-        for col, op, val in filters or []:
-            f = by_name.get(col)
-            t = f["type"] if f is not None and isinstance(f["type"], str) else None
-            if t in ("timestamp", "timestamptz") and isinstance(val, _dt.datetime):
+        def _norm_val(t, val):
+            if t in ("timestamp", "timestamptz") and isinstance(
+                val, _dt.datetime
+            ):
                 v = val if val.tzinfo else val.replace(tzinfo=_dt.timezone.utc)
-                val = int(v.timestamp() * 1_000_000)
-            elif (
+                return int(v.timestamp() * 1_000_000)
+            if (
                 t == "date"
                 and isinstance(val, _dt.date)
                 and not isinstance(val, _dt.datetime)
             ):
-                val = (val - _dt.date(1970, 1, 1)).days
+                return (val - _dt.date(1970, 1, 1)).days
+            return val
+
+        norm = []
+        for col, op, val in filters or []:
+            f = by_name.get(col)
+            t = f["type"] if f is not None and isinstance(f["type"], str) else None
+            if op == "in":  # disjunction of equalities; keep it a list
+                val = [_norm_val(t, v) for v in val]
+            else:
+                val = _norm_val(t, val)
             norm.append((col, op, val))
         filters = norm
 
@@ -1416,6 +1430,8 @@ class IcebergLocalTable:
 
 
 def _cmp(op: str, a, b) -> bool:
+    if op == "in":
+        return a in b
     if op == "=":
         return a == b
     if op == "<":
@@ -1432,6 +1448,10 @@ def _cmp(op: str, a, b) -> bool:
 def _range_may_match(op: str, val, lo, hi, contains_null) -> bool:
     """Could any value in [lo, hi] satisfy ``x op val``? Missing bounds
     (None) are unknown → keep the file."""
+    if op == "in":
+        return any(
+            _range_may_match("=", v, lo, hi, contains_null) for v in val
+        )
     if op == "=":
         if lo is not None and _lt(val, lo):
             return False

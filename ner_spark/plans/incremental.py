@@ -107,9 +107,23 @@ def incremental_kg_update(
             repair_keys = changed_keys_iceberg(
                 spark, transcripts_loc, from_id, "conv_id", to_id
             )
-            delta = read_iceberg(
-                spark, transcripts_loc, snapshot_id=to_id
-            ).join(F.broadcast(repair_keys), "conv_id")
+            # O(changed conversations) by construction, so the key list
+            # is collectable — and as a pushed-down IN predicate it
+            # prunes the snapshot scan through the table's partition
+            # spec (bucket(N, conv_id) layout → only the touched buckets
+            # are read; the repair becomes O(1/N of table) in I/O, not
+            # just in compute). Very wide repairs fall back to the
+            # broadcast semi-join over the full scan.
+            keys = [r["conv_id"] for r in repair_keys.collect()]
+            if len(keys) <= 10_000:
+                delta = read_iceberg(
+                    spark, transcripts_loc, snapshot_id=to_id,
+                    filters=[("conv_id", "in", keys)],
+                )
+            else:
+                delta = read_iceberg(
+                    spark, transcripts_loc, snapshot_id=to_id
+                ).join(F.broadcast(repair_keys), "conv_id")
         else:
             delta = read_iceberg_incremental(
                 spark, transcripts_loc, from_id, to_id

@@ -312,3 +312,90 @@ def test_spark_bucket_udf_null_and_large_values(spark):
     assert rows[2] is None
     assert rows[3] == 2017239379 % 16
     assert rows[1] == T.apply_transform("bucket[16]", "long", big)
+
+
+def test_in_predicate_prunes_buckets_and_days(spark, events_table):
+    """op='in' is a disjunction of equalities, so every transform serves
+    it — bucket included. The repair-path shape: a small key list pushed
+    down prunes to the union of the keys' buckets."""
+    loc, ev = events_table
+    t = IcebergLocalTable(loc)
+    total = len(t.scan())
+    uids = [r["user_id"] for r in
+            ev.select("user_id").distinct().limit(2).collect()]
+    want_buckets = {T.apply_transform("bucket[8]", "long", u) for u in uids}
+    pruned = t.scan(filters=[("user_id", "in", uids)])
+    assert 0 < len(pruned) < total
+    assert {f.partition["user_id_bucket"] for f in pruned} <= want_buckets
+    got = read_iceberg(spark, loc, filters=[("user_id", "in", uids)])
+    assert got.count() == ev.filter(F.col("user_id").isin(uids)).count() > 0
+    # temporal in-list through days()
+    days = [dt.datetime(2024, 1, 3, 12), dt.datetime(2024, 1, 9, 1)]
+    p2 = t.scan(filters=[("ts", "in", days)])
+    assert {f.partition["ts_day"] for f in p2} <= {
+        T.apply_transform(
+            "day", "timestamp",
+            int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+        )
+        for d in days
+    }
+
+
+def test_cdc_repair_prunes_bucketed_transcripts(spark, small_inputs, tmp_path):
+    """The north-rule repair shape end-to-end on a bucket(4, conv_id)
+    transcript layout: a correction tick re-reads ONLY the corrected
+    conversation's bucket (pruned from manifest metadata), and the
+    repaired mentions state matches a from-scratch recompute."""
+    import pandas as pd
+
+    from ner_spark.iceberg.spark_io import merge_upsert_iceberg_mor
+    from ner_spark.nlp.stage import detect_mentions
+    from ner_spark.plans.incremental import incremental_kg_update
+
+    tx = small_inputs["transcripts"]
+    gaz = small_inputs["gazetteer_pdf"]
+    emb = small_inputs["entity_embeddings"]
+    src = str(tmp_path / "transcripts")
+    wh = str(tmp_path / "wh")
+    write_iceberg(tx, src, partition_by=["bucket(4, conv_id)"])
+
+    incremental_kg_update(spark, src, wh, gaz, emb)  # tick 1: full
+
+    convs = sorted(
+        r["conv_id"] for r in tx.select("conv_id").distinct().collect()
+    )
+    touched = convs[0]
+    corrected = (
+        tx.filter(F.col("conv_id") == touched)
+        .withColumn("text", F.upper(F.col("text")))
+        .select(*tx.columns)
+    )
+    merge_upsert_iceberg_mor(spark, src, corrected, key="conv_id")
+
+    r = incremental_kg_update(spark, src, wh, gaz, emb)  # repair tick
+    assert r["processed_rows"] == corrected.count() > 0
+
+    # the pruned scan the repair issues touches only the key's bucket
+    t = IcebergLocalTable(src)
+    total = len(t.scan())
+    pruned = t.scan(filters=[("conv_id", "in", [touched])])
+    bucket = T.apply_transform("bucket[4]", "string", touched)
+    assert 0 < len(pruned) < total
+    assert all(f.partition["conv_id_bucket"] == bucket for f in pruned)
+
+    # repaired derived state ≡ recompute over current transcripts
+    cur = read_iceberg(spark, src)
+    want = (
+        detect_mentions(cur, gaz, spark)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "start", "end"])
+        .reset_index(drop=True)
+    )
+    got = (
+        r["mentions"]
+        .select(*want.columns)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "start", "end"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
