@@ -506,6 +506,67 @@ def run_mor(spark, sf_dir: str) -> dict:
     }
 
 
+def run_prune(spark, sf_dir: str) -> dict:
+    """Hidden-partitioning pruning profile: events laid out by
+    ``days(ts) + bucket(8, user_id)``, then three probe shapes that
+    predicate on SOURCE columns only — a 2-day time range, one user
+    equality, and a 3-user IN list (the CDC-repair shape). Reports files
+    scanned vs total (the scale-transferable number: the same manifest
+    math prunes a 100 TB table) and min-of-2 walls (at fixture scale the
+    wall gain is bounded by task overhead, so files-pruned is the
+    headline, wall the sanity check)."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    loc = _tf.mkdtemp(prefix="bench_prune_") + "/events"
+    t0 = time.perf_counter()
+    write_iceberg(
+        ev.coalesce(1), loc, partition_by=["days(ts)", "bucket(8, user_id)"]
+    )
+    write_sec = round(time.perf_counter() - t0, 3)
+    t = IcebergLocalTable(loc)
+    total_files = len(t.scan())
+
+    def probe(filters) -> tuple[float, int]:
+        n_files = len(t.scan(filters=filters))
+        best = None
+        for _ in range(2):
+            t1 = time.perf_counter()
+            read_iceberg(spark, loc, filters=filters).agg(
+                F.count("*"), F.sum("value")
+            ).collect()
+            d = time.perf_counter() - t1
+            best = d if best is None else min(best, d)
+        return round(best, 3), n_files
+
+    full_sec, _ = probe(None)
+    lo, hi = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 12)
+    day_sec, day_files = probe([("ts", ">=", lo), ("ts", "<", hi)])
+    eq_sec, eq_files = probe([("user_id", "=", 7)])
+    in_sec, in_files = probe([("user_id", "in", [7, 11, 13])])
+    return {
+        "rows": n,
+        "write_sec": write_sec,
+        "total_files": total_files,
+        "full_scan_sec": full_sec,
+        "day_range_files": day_files,
+        "day_range_sec": day_sec,
+        "bucket_eq_files": eq_files,
+        "bucket_eq_sec": eq_sec,
+        "in_list_files": in_files,
+        "in_list_sec": in_sec,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=None, help="override spark master")
@@ -517,6 +578,10 @@ def main() -> None:
     ap.add_argument("--mor", action="store_true",
                     help="merge-on-read cost profile (commit latency, "
                          "read overhead, compaction recovery); appends "
+                         "the numbers to BENCH/BASELINE.md")
+    ap.add_argument("--prune", action="store_true",
+                    help="hidden-partitioning pruning profile (files "
+                         "scanned vs total per probe shape); appends "
                          "the numbers to BENCH/BASELINE.md")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--scaling", action="store_true")
@@ -596,6 +661,36 @@ def main() -> None:
                 )
             )
         print(json.dumps({"mor": mr}))
+        spark.stop()
+        return
+
+    if a.prune:
+        pr = run_prune(spark, a.sf_dir)
+        md = os.path.join(_ROOT, "BENCH", "BASELINE.md")
+        os.makedirs(os.path.dirname(md), exist_ok=True)
+        tot = pr["total_files"]
+        with open(md, "a") as f:
+            f.write(
+                "\n## Hidden-partitioning pruning ({}, {} rows, sf {}; "
+                "layout days(ts) + bucket(8, user_id), {} files)\n\n"
+                "| probe (source-column predicate) | files scanned | "
+                "wall (s) |\n| --- | --- | --- |\n"
+                "| full scan | {}/{} | {} |\n"
+                "| 2-day ts range | {}/{} | {} |\n"
+                "| user_id equality (1 bucket) | {}/{} | {} |\n"
+                "| 3-key IN list (repair shape) | {}/{} | {} |\n\n"
+                "Files-scanned is the scale-transferable number (the same "
+                "manifest math prunes a 100 TB table before any file "
+                "opens); at fixture scale wall is floored by task "
+                "overhead.\n".format(
+                    time.strftime("%Y-%m-%d %H:%M:%S"), pr["rows"], sf, tot,
+                    tot, tot, pr["full_scan_sec"],
+                    pr["day_range_files"], tot, pr["day_range_sec"],
+                    pr["bucket_eq_files"], tot, pr["bucket_eq_sec"],
+                    pr["in_list_files"], tot, pr["in_list_sec"],
+                )
+            )
+        print(json.dumps({"prune": pr}))
         spark.stop()
         return
 
