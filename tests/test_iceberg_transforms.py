@@ -399,3 +399,33 @@ def test_cdc_repair_prunes_bucketed_transcripts(spark, small_inputs, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_sink_into_transform_layout(spark, tmp_path):
+    """The streaming CDC seam inherits hidden partitioning: a
+    foreachBatch iceberg_sink creating a bucket(4, conv_id)-partitioned
+    table lands every micro-batch through the partition projection, and
+    the accumulated table prunes on the source column."""
+    from ner_spark.iceberg.spark_io import iceberg_sink
+
+    loc = str(tmp_path / "sink")
+    sink = iceberg_sink(loc, partition_by=["bucket(4, conv_id)"])
+    b0 = spark.range(0, 40).selectExpr(
+        "concat('conv-', id % 10) as conv_id", "id as turn_idx",
+        "concat('text ', id) as text",
+    )
+    b1 = spark.range(40, 60).selectExpr(
+        "concat('conv-', id % 10) as conv_id", "id as turn_idx",
+        "concat('text ', id) as text",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    t = IcebergLocalTable(loc)
+    files = t.scan()
+    assert all(f.partition.get("conv_id_bucket") is not None for f in files)
+    pruned = t.scan(filters=[("conv_id", "=", "conv-3")])
+    want_bucket = T.apply_transform("bucket[4]", "string", "conv-3")
+    assert 0 < len(pruned) < len(files)
+    assert all(f.partition["conv_id_bucket"] == want_bucket for f in pruned)
+    got = read_iceberg(spark, loc, filters=[("conv_id", "=", "conv-3")])
+    assert got.count() == 6  # ids 3,13,23,33,43,53
