@@ -226,6 +226,55 @@ def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
     return df
 
 
+def _layout_of(path: str, base: str) -> tuple:
+    """Hive-dir signature of a data file (the partition column names on
+    its path) — files written under different partition specs have
+    different signatures, and Spark's partition discovery refuses to mix
+    them in one read."""
+    rel = os.path.relpath(path, base)
+    return tuple(
+        seg.partition("=")[0]
+        for seg in rel.split(os.sep)[:-1]
+        if "=" in seg
+    )
+
+
+def _scan_files(
+    spark: SparkSession,
+    location: str,
+    ddl: str,
+    cols: list[str],
+    paths: list[str],
+    with_pos_meta: bool = False,
+) -> DataFrame:
+    """One DataFrame over ``paths``, grouped by hive-layout signature so
+    a table whose partition spec EVOLVED (old files under one layout,
+    new files under another) still reads as one frame. Each group keeps
+    ``basePath`` so path-only identity columns resolve; projections are
+    uniform (``cols`` + ``seq`` [+ the position-delete metadata pair])
+    so the groups union cleanly. ``_metadata`` must be selected
+    per-group — it attaches to the file scan, not to a Union."""
+    base = _data_dir(location)
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        groups.setdefault(_layout_of(p, base), []).append(p)
+    parts = []
+    for _sig, ps in sorted(groups.items()):
+        df = (
+            spark.read.schema(ddl + ", seq bigint")
+            .option("basePath", base)
+            .parquet(*ps)
+        )
+        sel = [F.col(c) for c in [*cols, "seq"]]
+        if with_pos_meta:
+            sel += [
+                _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        parts.append(df.select(*sel))
+    return reduce(DataFrame.unionByName, parts)
+
+
 def _apply_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -234,10 +283,12 @@ def _apply_deletes(
 ) -> DataFrame:
     """Merge-on-read: subtract delete files from the raw data scan.
 
-    ``df`` must be the file-source scan itself (``_metadata`` intact,
-    ``seq`` hive column still selected). Position deletes (content=1)
-    anti-join on (file_path, row ordinal) via Spark's ``_metadata``
-    hidden column — no seq scoping needed, a position can only name a
+    ``df`` is a ``_scan_files`` frame: ``seq`` selected, and — whenever
+    position deletes exist — the ``__fp``/``__pos`` pair materialized
+    per file group from Spark's ``_metadata`` (it must be selected at
+    the scan, not after a Union). Position deletes (content=1)
+    anti-join on that (file_path, row ordinal) pair — no seq scoping
+    needed, a position can only name a
     file that existed when the delete was written. Equality deletes
     (content=2) anti-join null-safely on their ``equality_ids`` columns,
     scoped to data rows with a STRICTLY smaller commit sequence (the
@@ -253,16 +304,11 @@ def _apply_deletes(
     pos = [d for d in dels if d.content == 1]
     eqs = [d for d in dels if d.content == 2]
     if pos:
-        data = df.select(
-            "*",
-            _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
         pdel = spark.read.parquet(*[d.path for d in pos]).select(
             _strip_scheme(F.col("file_path")).alias("__fp"),
             F.col("pos").alias("__pos"),
         )
-        df = data.join(
+        df = df.join(
             F.broadcast(pdel), ["__fp", "__pos"], "left_anti"
         ).drop("__fp", "__pos")
     if eqs:
@@ -303,12 +349,11 @@ def read_iceberg(
     cols = [f["name"] for f in t._schema_struct(md)["fields"]]
     if not files:
         return spark.createDataFrame([], ddl)
-    out = (
-        spark.read.schema(ddl + ", seq bigint")
-        .option("basePath", _data_dir(location))
-        .parquet(*[f.path for f in files])
-    )
     dels = t.scan_deletes(snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    out = _scan_files(
+        spark, location, ddl, cols, [f.path for f in files],
+        with_pos_meta=any(d.content == 1 for d in dels),
+    )
     if dels:
         out = _apply_deletes(spark, out, dels, t._schema_struct(md))
     return _apply_filters(out.select(*cols), filters)
@@ -332,12 +377,9 @@ def read_iceberg_incremental(
     if not files:
         return spark.createDataFrame([], ddl)
     cols = [f["name"] for f in t._schema_struct(t.metadata())["fields"]]
-    return (
-        spark.read.schema(ddl + ", seq bigint")
-        .option("basePath", _data_dir(location))
-        .parquet(*[f.path for f in files])
-        .select(*cols)
-    )
+    return _scan_files(
+        spark, location, ddl, cols, [f.path for f in files]
+    ).select(*cols)
 
 
 def iceberg_sink(
@@ -695,12 +737,14 @@ def changed_keys_iceberg(
     parts: list[DataFrame] = []
     for ch in t.snapshot_changes(from_snapshot_id, to_snapshot_id):
         if ch["data_files"]:
-            # basePath so identity-partition columns (path-only) resolve
+            # layout-grouped scan: basePath resolves path-only identity
+            # columns, and files from different partition specs read in
+            # separate groups
             parts.append(
-                spark.read.schema(ddl)
-                .option("basePath", _data_dir(location))
-                .parquet(*[f.path for f in ch["data_files"]])
-                .select(key)
+                _scan_files(
+                    spark, location, ddl, [key],
+                    [f.path for f in ch["data_files"]],
+                ).select(key)
             )
         pos = [d for d in ch["delete_files"] if d.content == 1]
         eqs = [d for d in ch["delete_files"] if d.content == 2]
@@ -711,16 +755,9 @@ def changed_keys_iceberg(
             )
             named = sorted({r["__fp"] for r in pdel.select("__fp")
                             .distinct().collect()})
-            raw = (
-                spark.read.schema(ddl)
-                .option("basePath", _data_dir(location))
-                .parquet(*named)
-                .select(
-                    key,
-                    _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
-            )
+            raw = _scan_files(
+                spark, location, ddl, [key], named, with_pos_meta=True
+            ).select(key, "__fp", "__pos")
             parts.append(
                 raw.join(F.broadcast(pdel), ["__fp", "__pos"], "left_semi")
                 .select(key)

@@ -470,6 +470,7 @@ class DataFile:
     content: int = 0  # 0 data / 1 position deletes / 2 equality deletes
     equality_ids: list[int] | None = None  # content=2: field ids matched on
     sequence_number: int | None = None  # stamped at scan time
+    spec_id: int | None = None  # partition spec the file was written with
 
 
 def collect_parquet_stats(paths: list[str], partition_values=None) -> list[DataFile]:
@@ -732,6 +733,68 @@ class IcebergLocalTable:
         md["schemas"].append(new_schema)
         md["current-schema-id"] = new_schema["schema-id"]
         md["last-column-id"] = next_id
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+        return True
+
+    def evolve_spec(self, partition_by: list[str]) -> bool:
+        """Change the table's partition layout WITHOUT rewriting history
+        — Iceberg's partition-spec evolution. The new spec becomes the
+        default for future writes; every already-written manifest keeps
+        its own spec-id and ``scan()`` prunes each manifest under the
+        spec it was written with (a re-bucket from 8 to 64 prunes old
+        files mod 8 and new files mod 64 from the same predicate). A
+        (source column, transform) pair that already exists in ANY prior
+        spec keeps its partition field-id, per the spec's reuse rule;
+        new pairs get fresh ids above last-partition-id. Returns True if
+        the default spec changed.
+
+        At 100 TB this is the maintenance story partitioning needs:
+        yesterday's layout mistake (too few buckets, hourly instead of
+        daily) is fixed by one metadata commit, and compaction migrates
+        old data to the new layout incrementally instead of as a
+        stop-the-world rewrite."""
+        from ner_spark.iceberg import transforms as T
+
+        md = self.metadata()
+        struct = self._schema_struct(md)
+        by_name = {f["name"]: f for f in struct["fields"]}
+        reuse: dict[tuple, int] = {}
+        for spec in md["partition-specs"]:
+            for pf in spec["fields"]:
+                reuse[(pf["source-id"], pf["transform"])] = pf["field-id"]
+        last_pid = md.get("last-partition-id", 999)
+        fields = []
+        for expr in partition_by:
+            src, transform = T.parse_partition_field(expr)
+            if src not in by_name:
+                raise ValueError(f"partition column {src!r} not in schema")
+            st = by_name[src]["type"]
+            if not isinstance(st, str):
+                raise ValueError(f"cannot partition by nested column {src!r}")
+            T.result_type(transform, st)
+            key = (by_name[src]["id"], transform)
+            fid = reuse.get(key)
+            if fid is None:
+                last_pid += 1
+                fid = last_pid
+            fields.append(
+                {
+                    "name": T.default_field_name(src, transform),
+                    "transform": transform,
+                    "source-id": by_name[src]["id"],
+                    "field-id": fid,
+                }
+            )
+        cur = self._spec_fields(md)
+        if [
+            (f["source-id"], f["transform"]) for f in fields
+        ] == [(f["source-id"], f["transform"]) for f in cur]:
+            return False
+        new_sid = max(s["spec-id"] for s in md["partition-specs"]) + 1
+        md["partition-specs"].append({"spec-id": new_sid, "fields": fields})
+        md["default-spec-id"] = new_sid
+        md["last-partition-id"] = last_pid
         md["last-updated-ms"] = _NOW_MS()
         self._write_metadata(md, self.current_version() + 1)
         return True
@@ -1022,18 +1085,30 @@ class IcebergLocalTable:
         struct = self._schema_struct(md)
         by_name = {f["name"]: f for f in struct["fields"]}
         by_id = {f["id"]: f for f in struct["fields"]}
-        spec_fields = self._spec_fields(md)
-        # source column name → [(spec index, spec field, result type)]:
-        # a predicate on the SOURCE column prunes via every transform of
-        # it in the spec — hidden partitioning (queries never name
-        # ts_day; ``ts >= c`` prunes because day() is order-preserving,
-        # ``conv_id = c`` prunes because bucket() preserves equality)
-        specs_by_src: dict[str, list] = {}
-        for i, pf in enumerate(spec_fields):
-            src = by_id[pf["source-id"]]["name"]
-            specs_by_src.setdefault(src, []).append(
-                (i, pf, partition_result_type(pf, struct))
-            )
+        # Per-spec pruning index: source column name → [(spec index,
+        # spec field, result type)]. A predicate on the SOURCE column
+        # prunes via every transform of it — hidden partitioning
+        # (queries never name ts_day; ``ts >= c`` prunes because day()
+        # is order-preserving, ``conv_id = c`` because bucket()
+        # preserves equality). Each manifest is pruned under the spec it
+        # was WRITTEN with (spec evolution: a re-bucket from 8 to 64
+        # prunes old files mod 8, new files mod 64).
+        specs_by_id = {
+            s["spec-id"]: s["fields"] for s in md.get("partition-specs", [])
+        }
+        default_sid = md.get("default-spec-id", 0)
+        _src_cache: dict[int, dict] = {}
+
+        def _specs_by_src(sid: int) -> dict:
+            if sid not in _src_cache:
+                d: dict[str, list] = {}
+                for i, pf in enumerate(specs_by_id.get(sid, [])):
+                    src = by_id[pf["source-id"]]["name"]
+                    d.setdefault(src, []).append(
+                        (i, pf, partition_result_type(pf, struct))
+                    )
+                _src_cache[sid] = d
+            return _src_cache[sid]
 
         def _transform_prune(op: str, val, pf: dict, src_type: str):
             """(transformed value, effective op) for one predicate against
@@ -1088,9 +1163,10 @@ class IcebergLocalTable:
             parts = m.get("partitions")
             if not parts:
                 return True
+            by_src = _specs_by_src(m.get("partition_spec_id", default_sid))
             for col, op, val in filters:
                 src_type = by_name[col]["type"] if col in by_name else None
-                for i, pf, rt in specs_by_src.get(col, []):
+                for i, pf, rt in by_src.get(col, []):
                     if i >= len(parts):
                         continue
                     tv, eff = _transform_prune(op, val, pf, src_type)
@@ -1103,14 +1179,15 @@ class IcebergLocalTable:
                         return False
             return True
 
-        def _file_may_match(entry: dict) -> bool:
+        def _file_may_match(entry: dict, sid: int) -> bool:
             dfile = entry["data_file"]
+            by_src = _specs_by_src(sid)
             for col, op, val in filters:
                 # partition values are exact per file: apply the same
                 # transform to the predicate constant and compare
                 pruned = False
                 src_type = by_name[col]["type"] if col in by_name else None
-                for _i, pf, _rt in specs_by_src.get(col, []):
+                for _i, pf, _rt in by_src.get(col, []):
                     pv = dfile["partition"].get(pf["name"])
                     if pv is None:  # compacted/legacy file: no dir value
                         continue
@@ -1144,13 +1221,14 @@ class IcebergLocalTable:
                 continue
             if not _manifest_may_match(m):
                 continue
+            sid = m.get("partition_spec_id", default_sid)
             _, _, entries = avro_io.read_container(m["manifest_path"])
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
                 if e["data_file"].get("content", 0) != 0:
                     continue
-                if not _file_may_match(e):
+                if not _file_may_match(e, sid):
                     continue
                 d = e["data_file"]
                 lower = {}
@@ -1173,6 +1251,7 @@ class IcebergLocalTable:
                         upper_bounds=upper,
                         split_offsets=d.get("split_offsets"),
                         sequence_number=e.get("sequence_number"),
+                        spec_id=sid,
                     )
                 )
         return out
