@@ -408,3 +408,66 @@ def iceberg_hidden_partitioning(spark, sf):
     return probe("day_range", [("ts", ">=", lo), ("ts", "<", hi)]).unionAll(
         probe("bucket_eq", [("user_id", "=", 7)])
     )
+
+
+@register(
+    "iceberg_spec_evolution",
+    """
+    WITH probe AS (
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE user_id = 7 GROUP BY event_type),
+    full_t AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events)
+    SELECT 'user_eq' AS probe, event_type, n_rows, sum_value FROM probe
+    UNION ALL
+    SELECT 'full', 'all', n_rows, sum_value FROM full_t
+    """,
+)
+def iceberg_spec_evolution(spark, sf):
+    """Partition spec evolution differential: half the events land under
+    ``bucket(4, user_id)``, the spec evolves to ``bucket(8, user_id)``
+    (one metadata commit, no rewrite), the other half appends under the
+    new layout. The user-equality probe then prunes EACH manifest under
+    the spec it was written with (old files mod 4, new files mod 8), and
+    the full read unions the two hive layouts. The DuckDB oracle
+    recomputes both from the raw parquet — a wrong per-spec transform,
+    a file leaked/dropped across the evolution boundary, or a bad layout
+    union is a value mismatch.
+
+    Scale shape: re-bucketing a 100 TB table is one metadata commit;
+    history keeps its layout and stays prunable, and compaction migrates
+    it incrementally.
+    """
+    from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_ev_") + "/events_tbl"
+    write_iceberg(
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1),
+        loc, partition_by=["bucket(4, user_id)"],
+    )
+    IcebergLocalTable(loc).evolve_spec(["bucket(8, user_id)"])
+    write_iceberg(
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1),
+        loc, mode="append",
+    )
+    probe = (
+        read_iceberg(spark, loc, filters=[("user_id", "=", 7)])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"), _dsum("value", "sum_value"))
+        .select(F.lit("user_eq").alias("probe"), "event_type", "n_rows",
+                "sum_value")
+    )
+    full = (
+        read_iceberg(spark, loc)
+        .agg(F.count("*").alias("n_rows"), _dsum("value", "sum_value"))
+        .select(F.lit("full").alias("probe"),
+                F.lit("all").alias("event_type"), "n_rows", "sum_value")
+    )
+    return probe.unionAll(full)
