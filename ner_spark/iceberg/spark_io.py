@@ -182,11 +182,16 @@ def write_iceberg(
     run_id: str | None = None,
     properties: dict | None = None,
     summary: dict | None = None,
+    branch: str = "main",
 ) -> int:
     """Write ``df`` as a new Iceberg snapshot; returns the snapshot id.
 
     ``mode='overwrite'`` replaces table contents (new snapshot, old data
     files retained for time travel); ``mode='append'`` adds to them.
+    ``branch`` stages the commit on a named branch instead of advancing
+    the table head (write-audit-publish: write to an audit branch,
+    validate with ``read_iceberg(ref=branch)``, publish with
+    ``IcebergLocalTable.fast_forward('main', branch)``).
     """
     t = IcebergLocalTable(location)
     if not t.exists():
@@ -198,6 +203,11 @@ def write_iceberg(
         # existing columns keep their field ids
         t.evolve_schema(df.schema)
     md = t.metadata()
+    # validate the target ref BEFORE writing data files — a commit-time
+    # failure would orphan parquet under the seq dir the next writer needs
+    ref = (md.get("refs") or {}).get(branch)
+    if ref is not None and ref.get("type") == "tag":
+        raise ValueError(f"{branch!r} is a tag; tags are immutable")
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
     df, spec_names = _partition_projection(t, md, df)
@@ -207,7 +217,7 @@ def write_iceberg(
     if run_id is not None:
         summ["run_id"] = run_id
     op = "append" if mode == "append" else "overwrite"
-    return t.commit(files, operation=op, summary=summ)
+    return t.commit(files, operation=op, summary=summ, branch=branch)
 
 
 def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
@@ -339,17 +349,21 @@ def read_iceberg(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     filters: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Scan → DataFrame (file-pruned, schema from table metadata,
-    merge-on-read delete files applied)."""
+    merge-on-read delete files applied). ``ref`` reads a named branch or
+    tag head instead of main (``VERSION AS OF 'ref'`` semantics)."""
     t = IcebergLocalTable(location)
     md = t.metadata()
     ddl = t.spark_ddl()
-    files = t.scan(snapshot_id=snapshot_id, as_of_ms=as_of_ms, filters=filters)
+    files = t.scan(
+        snapshot_id=snapshot_id, as_of_ms=as_of_ms, filters=filters, ref=ref
+    )
     cols = [f["name"] for f in t._schema_struct(md)["fields"]]
     if not files:
         return spark.createDataFrame([], ddl)
-    dels = t.scan_deletes(snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    dels = t.scan_deletes(snapshot_id=snapshot_id, as_of_ms=as_of_ms, ref=ref)
     out = _scan_files(
         spark, location, ddl, cols, [f.path for f in files],
         with_pos_meta=any(d.content == 1 for d in dels),

@@ -941,6 +941,7 @@ class IcebergLocalTable:
         operation: str = "append",
         summary: dict | None = None,
         delete_files: list[DataFile] | None = None,
+        branch: str = "main",
     ) -> int:
         """Commit a snapshot; returns the snapshot id.
 
@@ -978,11 +979,22 @@ class IcebergLocalTable:
         version = self.current_version()
         seq = md["last-sequence-number"] + 1
         snapshot_id = (seq << 20) | (uuid.uuid4().int & 0xFFFFF)
-        parent = md.get("current-snapshot-id", -1)
+        # the commit's parent is the BRANCH head; a commit to a branch
+        # that doesn't exist yet forks it from the current main head
+        # (write-audit-publish: stage on "audit", validate, fast-forward)
+        refs = dict(md.get("refs") or {})
+        if branch in refs:
+            if refs[branch].get("type") == "tag":
+                raise ValueError(f"{branch!r} is a tag; tags are immutable")
+            parent = refs[branch]["snapshot-id"]
+        else:
+            parent = md.get("current-snapshot-id", -1)
 
         manifests: list[dict] = []
         if operation in ("append", "delete") and parent not in (-1, None):
-            cur = self.current_snapshot()
+            cur = next(
+                s for s in md["snapshots"] if s["snapshot-id"] == parent
+            )
             _, _, prior = avro_io.read_container(cur["manifest-list"])
             manifests.extend(prior)
         if delete_files:
@@ -1042,11 +1054,18 @@ class IcebergLocalTable:
             },
         }
         md["snapshots"].append(snap)
-        md["current-snapshot-id"] = snapshot_id
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
-        md["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
-        md["snapshot-log"].append({"timestamp-ms": now, "snapshot-id": snapshot_id})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        md["refs"] = refs
+        if branch == "main":
+            # per the Iceberg spec, current-snapshot-id and snapshot-log
+            # track the MAIN branch only; a staging-branch commit leaves
+            # readers of the table head untouched until publish
+            md["current-snapshot-id"] = snapshot_id
+            md["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": snapshot_id}
+            )
         md["metadata-log"].append(
             {
                 "timestamp-ms": now,
@@ -1065,6 +1084,7 @@ class IcebergLocalTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         filters: list[tuple] | None = None,
+        ref: str | None = None,
     ) -> list[DataFile]:
         """Resolve (snapshot, filters) → pruned list of data files.
 
@@ -1077,7 +1097,7 @@ class IcebergLocalTable:
         predicate; Spark does on the parquet scan).
         """
         md = self.metadata()
-        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms, ref=ref)
         if snap is None:
             return []
         from ner_spark.iceberg import transforms as T
@@ -1260,6 +1280,7 @@ class IcebergLocalTable:
         self,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> list[DataFile]:
         """Delete files live at a snapshot — the merge-on-read side of
         ``scan``. Readers apply them per the v2 rules: a position delete
@@ -1270,7 +1291,7 @@ class IcebergLocalTable:
         a past snapshot's manifest list simply doesn't reference deletes
         committed later."""
         md = self.metadata()
-        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms, ref=ref)
         if snap is None:
             return []
         out: list[DataFile] = []
@@ -1297,10 +1318,22 @@ class IcebergLocalTable:
         return out
 
     def _resolve_snapshot(
-        self, md: dict, snapshot_id: int | None, as_of_ms: int | None
+        self,
+        md: dict,
+        snapshot_id: int | None,
+        as_of_ms: int | None,
+        ref: str | None = None,
     ) -> dict | None:
-        """(snapshot_id | as_of_ms | current) → snapshot dict or None."""
+        """(ref | snapshot_id | as_of_ms | current) → snapshot dict or
+        None. ``ref`` is a branch or tag name from the refs map."""
         snaps = md.get("snapshots", [])
+        if ref is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError("ref is exclusive with snapshot_id/as_of_ms")
+            r = (md.get("refs") or {}).get(ref)
+            if r is None:
+                raise ValueError(f"ref {ref!r} not found")
+            snapshot_id = r["snapshot-id"]
         if snapshot_id is None and as_of_ms is not None:
             older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
             if not older:
@@ -1470,6 +1503,92 @@ class IcebergLocalTable:
     def spark_ddl(self) -> str:
         return schema_to_spark_ddl(self._schema_struct(self.metadata()))
 
+    # ---- refs (branches / tags / write-audit-publish)
+
+    def refs(self) -> dict:
+        """The refs map: name → {snapshot-id, type: branch|tag}."""
+        return dict(self.metadata().get("refs") or {})
+
+    def _set_ref(self, name: str, snapshot_id: int | None, rtype: str) -> int:
+        md = self.metadata()
+        if snapshot_id is None:
+            snapshot_id = md.get("current-snapshot-id", -1)
+        if snapshot_id in (-1, None):
+            raise ValueError("table has no snapshot to reference")
+        if not any(s["snapshot-id"] == snapshot_id for s in md["snapshots"]):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        refs = dict(md.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": snapshot_id, "type": rtype}
+        md["refs"] = refs
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+        return snapshot_id
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Fork a branch at ``snapshot_id`` (default: main head). Commits
+        with ``branch=name`` advance it without moving the table head —
+        the staging half of write-audit-publish."""
+        return self._set_ref(name, snapshot_id, "branch")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin an immutable named snapshot (default: main head) — survives
+        ``expire_snapshots`` until the tag is dropped."""
+        return self._set_ref(name, snapshot_id, "tag")
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"ref {name!r} not found")
+        del refs[name]
+        md["refs"] = refs
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+
+    def fast_forward(self, branch: str, to: str) -> int:
+        """Advance ``branch`` to the head of ref ``to`` — the publish half
+        of write-audit-publish (stage commits on an audit branch, run the
+        audit, then ``fast_forward('main', 'audit')``). Fast-forward ONLY:
+        the current ``branch`` head must be an ancestor of the target
+        head, so a diverged branch refuses rather than silently dropping
+        commits. Returns the new head snapshot id."""
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        src = refs.get(to)
+        if src is None:
+            raise ValueError(f"ref {to!r} not found")
+        target = src["snapshot-id"]
+        cur = refs.get(branch)
+        if cur is not None:
+            if cur.get("type") == "tag":
+                raise ValueError(f"{branch!r} is a tag; tags are immutable")
+            head = cur["snapshot-id"]
+            if head != target:
+                by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+                anc = by_id[target].get("parent-snapshot-id")
+                while anc is not None and anc != head:
+                    anc = by_id[anc].get("parent-snapshot-id") if anc in by_id else None
+                if anc != head:
+                    raise ValueError(
+                        f"{branch!r} (head {head}) is not an ancestor of "
+                        f"{to!r} (head {target}); cannot fast-forward"
+                    )
+        refs[branch] = {"snapshot-id": target, "type": "branch"}
+        md["refs"] = refs
+        now = _NOW_MS()
+        md["last-updated-ms"] = now
+        if branch == "main":
+            md["current-snapshot-id"] = target
+            md["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": target}
+            )
+        self._write_metadata(md, self.current_version() + 1)
+        return target
+
     # ---- maintenance
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
@@ -1480,7 +1599,17 @@ class IcebergLocalTable:
         snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
         if len(snaps) <= keep_last:
             return []
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        # ref heads (branches and tags) are pinned: a tag exists to make a
+        # snapshot unexpirable, and dropping a live branch head would leave
+        # the refs map dangling
+        pinned = {r["snapshot-id"] for r in (md.get("refs") or {}).values()}
+        keep = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
+        ]
+        keep_set = {s["snapshot-id"] for s in keep}
+        drop = [s for s in snaps if s["snapshot-id"] not in keep_set]
+        if not drop:
+            return []
 
         def _files_of(snap_list):
             paths = set()

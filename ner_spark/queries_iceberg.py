@@ -471,3 +471,74 @@ def iceberg_spec_evolution(spark, sf):
                 F.lit("all").alias("event_type"), "n_rows", "sum_value")
     )
     return probe.unionAll(full)
+
+
+@register(
+    "iceberg_branch_wap",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0),
+    staged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM staged),
+    states AS (
+      SELECT 'pre_publish' AS state, o_totalprice FROM base
+      UNION ALL SELECT 'audit', o_totalprice FROM merged
+      UNION ALL SELECT 'published', o_totalprice FROM merged
+      UNION ALL SELECT 'tag_v1', o_totalprice FROM base)
+    SELECT state, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM states GROUP BY state
+    """,
+)
+def iceberg_branch_wap(spark, sf):
+    """Write-audit-publish through Iceberg refs: the base table is tagged
+    ``v1``, an ingest tick is committed on the ``audit`` BRANCH (main
+    readers untouched — ``pre_publish`` is read from the table head while
+    the staged commit already exists), the audit read validates the
+    branch, and ``fast_forward('main', 'audit')`` publishes atomically
+    (one metadata swap, zero data movement). The tag still reads the
+    pre-publish state afterwards. The oracle reconstructs all four states
+    relationally, so a branch commit that leaks into main, a publish that
+    drops staged files, or a tag that drifts is a value mismatch.
+
+    Scale shape: staging on a branch is the 100-TB-safe ingest pattern —
+    a bad tick never reaches readers, the audit query costs one scan of
+    the staged files, and publish is O(1) metadata regardless of table
+    size.
+    """
+    from ner_spark.iceberg.spark_io import read_iceberg, write_iceberg
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    loc = tempfile.mkdtemp(prefix="iceberg_wap_") + "/orders_tbl"
+    write_iceberg(o.where(key % 3 == 0), loc,
+                  partition_by=["o_orderstatus"], run_id="base")
+    tbl = IcebergLocalTable(loc)
+    tbl.create_tag("v1")
+    write_iceberg(o.where(key % 3 == 1), loc, mode="append",
+                  run_id="tick", branch="audit")
+
+    def _state(label, **kw):
+        # read_iceberg plans its file list eagerly, so each state is
+        # pinned at call time regardless of when Spark executes it
+        return (
+            read_iceberg(spark, loc, **kw)
+            .agg(F.count("*").alias("n_rows"),
+                 _dsum("o_totalprice", "sum_price"))
+            .select(F.lit(label).alias("state"), "n_rows", "sum_price")
+        )
+
+    pre = _state("pre_publish")
+    audit = _state("audit", ref="audit")
+    tbl.fast_forward("main", "audit")
+    published = _state("published")
+    tag = _state("tag_v1", ref="v1")
+    return pre.unionAll(audit).unionAll(published).unionAll(tag)
