@@ -396,6 +396,23 @@ def read_iceberg_incremental(
     ).select(*cols)
 
 
+def read_iceberg_snapshot_adds(
+    spark: SparkSession, location: str, snapshot_id: int
+) -> DataFrame:
+    """Rows ADDED by exactly one snapshot — the audit read of a staged
+    branch commit (what actually reached disk), immune to orphaned
+    staging snapshots sharing the sequence range."""
+    t = IcebergLocalTable(location)
+    files = t.scan_snapshot_adds(snapshot_id)
+    ddl = t.spark_ddl()
+    if not files:
+        return spark.createDataFrame([], ddl)
+    cols = [f["name"] for f in t._schema_struct(t.metadata())["fields"]]
+    return _scan_files(
+        spark, location, ddl, cols, [f.path for f in files]
+    ).select(*cols)
+
+
 def iceberg_sink(
     location: str,
     partition_by: list[str] | None = None,

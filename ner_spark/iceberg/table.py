@@ -1413,6 +1413,39 @@ class IcebergLocalTable:
                     )
         return out
 
+    def scan_snapshot_adds(self, snapshot_id: int) -> list[DataFile]:
+        """Data files ADDED by exactly one snapshot, from its OWN manifest
+        list (entries at its sequence number, status ADDED). Branch-safe,
+        unlike ``scan_incremental``'s main-line sequence range — an
+        abandoned staging snapshot with an intermediate sequence number
+        can never leak into the result."""
+        md = self.metadata()
+        snap = next(
+            (s for s in md.get("snapshots", [])
+             if s["snapshot-id"] == snapshot_id), None,
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        out: list[DataFile] = []
+        _, _, manifests = avro_io.read_container(snap["manifest-list"])
+        for m in manifests:
+            if m["sequence_number"] != snap["sequence-number"]:
+                continue
+            _, _, entries = avro_io.read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] != 1 or e["data_file"].get("content", 0) != 0:
+                    continue
+                d = e["data_file"]
+                out.append(
+                    DataFile(
+                        path=d["file_path"],
+                        record_count=d["record_count"],
+                        file_size=d["file_size_in_bytes"],
+                        partition=dict(d["partition"]),
+                    )
+                )
+        return out
+
     def operations_between(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> set[str]:

@@ -1,0 +1,154 @@
+"""Write-audit-publish ingest for transcript tables (SURVEY.md §4.4).
+
+The 100-TB-safe landing pattern the north rule's production loop needs:
+a transcript batch is committed to a per-batch AUDIT BRANCH of the
+Iceberg table, the audit validates the rows that actually reached disk
+(not the DataFrame the producer claims it wrote), and only a fully green
+audit fast-forwards main. Readers of main — the incremental KG tick
+included — can never observe a half-validated batch; a refused batch
+stays readable on its branch for inspection and costs one ``drop_ref``
+to discard.
+
+Audit checks (all computed in ONE Spark job over the staged delta, plus
+one pruned collision probe against main):
+
+- ``schema_nulls``: conv_id / turn_idx / text / ts must be non-null —
+  the per-turn text-equality invariant is meaningless on null keys.
+- ``dup_keys_in_batch``: (conv_id, turn_idx) unique within the batch —
+  duplicate turn ordinals break stable turn ordering.
+- ``key_collision_with_main``: the batch must not re-append turns main
+  already has (corrections go through the MOR upsert path instead).
+  The probe reads main with a pushed-down ``conv_id IN`` filter, so on
+  a ``bucket(N, conv_id)`` layout it scans only the touched buckets —
+  O(batch), not O(table).
+- caller-supplied ``extra_checks``: callables ``DataFrame -> (ok,
+  detail)`` over the staged delta (e.g. language-ID drift, PII scans).
+
+Publish is ``fast_forward('main', branch)`` — O(1) metadata regardless
+of table size — followed by dropping the staging branch. Divergence
+(another writer advanced main since the fork) refuses at publish rather
+than dropping commits, preserving the single-writer contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark.iceberg.spark_io import (
+    read_iceberg,
+    read_iceberg_snapshot_adds,
+    write_iceberg,
+)
+from ner_spark.iceberg.table import IcebergLocalTable
+
+_KEY = ("conv_id", "turn_idx")
+
+
+def wap_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    transcripts_loc: str,
+    batch_id: str,
+    extra_checks: list[Callable[[DataFrame], tuple[bool, str]]] | None = None,
+    max_collision_probe_keys: int = 10_000,
+) -> dict:
+    """Stage ``batch`` on branch ``audit-{batch_id}``, audit, publish.
+
+    Returns ``{"published": bool, "branch": str, "snapshot_id": int,
+    "staged_rows": int, "checks": {name: {"ok": bool, "detail": str}}}``.
+    On a red audit, main is untouched and the branch is KEPT for
+    inspection (``IcebergLocalTable.drop_ref`` discards it); on green,
+    main is fast-forwarded and the branch is dropped.
+    """
+    branch = f"audit-{batch_id}"
+    t = IcebergLocalTable(transcripts_loc)
+    if t.exists() and branch in t.refs():
+        raise ValueError(
+            f"ref {branch!r} already exists (a refused batch under "
+            "investigation?); drop_ref it before re-staging"
+        )
+    base_head = (
+        (t.current_snapshot() or {}).get("snapshot-id") if t.exists() else None
+    )
+    staged_id = write_iceberg(
+        batch, transcripts_loc, mode="append", branch=branch,
+        run_id=batch_id, partition_by=["conv_id"],
+    )
+    t = IcebergLocalTable(transcripts_loc)
+
+    # audit what reached DISK: exactly the files the staged snapshot
+    # added, from its own manifest list — main never references them,
+    # and an earlier refused batch's orphaned snapshot cannot leak in
+    staged = read_iceberg_snapshot_adds(spark, transcripts_loc, staged_id)
+
+    checks: dict[str, dict] = {}
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("conv_id").isNull()
+                | F.col("turn_idx").isNull()
+                | F.col("text").isNull()
+                | F.col("ts").isNull()
+            ).cast("long")
+        ).alias("n_null"),
+        F.count_distinct(*[F.col(c) for c in _KEY]).alias("n_distinct"),
+    ).collect()[0]
+    checks["schema_nulls"] = {
+        "ok": (stats["n_null"] or 0) == 0,
+        "detail": f"{stats['n_null'] or 0} null-key rows of {stats['n']}",
+    }
+    checks["dup_keys_in_batch"] = {
+        "ok": stats["n_distinct"] == stats["n"],
+        "detail": f"{stats['n'] - stats['n_distinct']} duplicate "
+                  f"(conv_id, turn_idx) of {stats['n']}",
+    }
+
+    if base_head is not None:
+        # collision probe against main, pruned to the batch's
+        # conversations (IN pushdown → bucket/identity partition pruning)
+        convs = [r["conv_id"] for r in
+                 staged.select("conv_id").distinct().collect()
+                 if r["conv_id"] is not None]
+        if len(convs) <= max_collision_probe_keys:
+            main_slice = read_iceberg(
+                spark, transcripts_loc, snapshot_id=base_head,
+                filters=[("conv_id", "in", convs)] if convs else None,
+            )
+        else:
+            main_slice = read_iceberg(
+                spark, transcripts_loc, snapshot_id=base_head
+            ).join(
+                F.broadcast(staged.select("conv_id").distinct()), "conv_id"
+            )
+        n_coll = (
+            staged.select(*_KEY)
+            .join(main_slice.select(*_KEY), list(_KEY), "left_semi")
+            .count()
+        )
+        checks["key_collision_with_main"] = {
+            "ok": n_coll == 0,
+            "detail": f"{n_coll} staged turns already exist on main "
+                      "(corrections belong on the MOR upsert path)",
+        }
+
+    for i, fn in enumerate(extra_checks or []):
+        ok, detail = fn(staged)
+        checks[getattr(fn, "__name__", f"extra_{i}")] = {
+            "ok": bool(ok), "detail": str(detail),
+        }
+
+    published = all(c["ok"] for c in checks.values())
+    if published:
+        t.fast_forward("main", branch)
+        t.drop_ref(branch)
+    return {
+        "published": published,
+        "branch": branch,
+        "snapshot_id": staged_id,
+        "staged_rows": stats["n"],
+        "checks": checks,
+    }
