@@ -1624,6 +1624,33 @@ class IcebergLocalTable:
 
     # ---- maintenance
 
+    def remove_orphan_files(self) -> list[str]:
+        """Delete parquet under the table's data/deletes dirs that NO live
+        snapshot's manifests reference — the debris of crashed commits
+        (files written, metadata never swapped) and of staging branches
+        whose snapshots have been expired. Metadata files are never
+        touched; expire_snapshots owns snapshot retention. Returns the
+        deleted paths."""
+        md = self.metadata()
+        referenced: set[str] = set()
+        for s in md.get("snapshots", []):
+            _, _, manifests = avro_io.read_container(s["manifest-list"])
+            for m in manifests:
+                _, _, entries = avro_io.read_container(m["manifest_path"])
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+        dead = []
+        for sub in ("data", "deletes"):
+            root = os.path.join(self.location, sub)
+            for dirpath, _dirs, names in os.walk(root):
+                for n in names:
+                    p = os.path.join(dirpath, n)
+                    if n.endswith(".parquet") and p not in referenced:
+                        dead.append(p)
+        for p in sorted(dead):
+            os.remove(p)
+        return sorted(dead)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots; delete data
         files referenced ONLY by expired snapshots. Returns deleted paths.

@@ -542,3 +542,39 @@ def iceberg_branch_wap(spark, sf):
     published = _state("published")
     tag = _state("tag_v1", ref="v1")
     return pre.unionAll(audit).unionAll(published).unionAll(tag)
+
+
+@register(
+    "iceberg_partitions_meta",
+    """
+    SELECT concat('o_orderstatus=', o_orderstatus) AS partition,
+           CAST(1 AS BIGINT) AS file_count,
+           COUNT(*) AS record_count
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_partitions_meta(spark, sf):
+    """The ``tbl$partitions`` inspection surface: per-partition file/row
+    rollup computed purely from manifest METADATA (no data file opened) —
+    what compaction planning and skew monitoring read on a 100 TB table.
+    The write runs through one task (coalesce(1)) so the expected layout
+    is exactly one file per partition value, and the oracle recomputes
+    the per-partition row counts from the raw source: a manifest stats
+    error (wrong record_count, dropped partition dir, double-counted
+    file) is a value mismatch.
+    """
+    from ner_spark.iceberg.meta_tables import partitions_table
+    from ner_spark.iceberg.spark_io import write_iceberg
+
+    o = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .coalesce(1)
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_meta_") + "/orders_tbl"
+    write_iceberg(o, loc, partition_by=["o_orderstatus"])
+    return partitions_table(spark, loc).select(
+        "partition", "file_count", "record_count"
+    )
