@@ -534,6 +534,86 @@ def compact_iceberg(
     return len(new_files)
 
 
+def compact_iceberg_partitions(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """Partition-scoped rewrite_data_files: binpack ONLY the partitions
+    whose live files are smaller than they should be, leaving the rest of
+    the table's files untouched (carried forward as EXISTING manifest
+    entries, original sequence numbers preserved). This is the
+    maintenance shape that survives 100 TB — a nightly window compacts
+    the day's small-file partitions in O(today's data) while the
+    petabytes of already-healthy partitions never move; the whole-table
+    ``compact_iceberg`` would be a stop-the-world rewrite. Partition
+    selection reads manifest METADATA only (the same rollup as
+    ``meta_tables.partitions_table``).
+
+    MOR interplay: rewritten rows are read merge-on-read (their deltas
+    fold in) and land at the new sequence number, so carried equality
+    deletes no longer apply to them but still apply to untouched old
+    files; carried position deletes naming replaced paths match nothing.
+
+    Returns {"partitions_compacted", "files_in", "files_out"}.
+    """
+    t = IcebergLocalTable(location)
+    md = t.metadata()
+    files = t.scan()
+    groups: dict[tuple, list] = {}
+    for f in files:
+        groups.setdefault(tuple(sorted((f.partition or {}).items())), []).append(f)
+    picked = []
+    for _part, fs in sorted(groups.items()):
+        total = sum(f.file_size for f in fs)
+        n_out = max(1, -(-total // target_file_bytes))
+        if len(fs) >= min_input_files and n_out < len(fs):
+            picked.append((fs, n_out))
+    if not picked:
+        return {"partitions_compacted": 0, "files_in": 0, "files_out": 0}
+
+    sel = [f for fs, _ in picked for f in fs]
+    n_out = sum(n for _, n in picked)
+    dels = t.scan_deletes()
+    ddl = t.spark_ddl()
+    cols = [f["name"] for f in t._schema_struct(md)["fields"]]
+    df = _scan_files(
+        spark, location, ddl, cols, [f.path for f in sel],
+        with_pos_meta=any(d.content == 1 for d in dels),
+    )
+    if dels:
+        df = _apply_deletes(spark, df, dels, t._schema_struct(md))
+    df = df.select(*cols)
+
+    seq = md["last-sequence-number"] + 1
+    commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
+    df, spec_names = _partition_projection(t, md, df)
+    if spec_names:
+        # hash-cluster on the partition columns so each rewritten
+        # partition binpacks into its own task → one output file per
+        # small partition (a bare coalesce interleaves partitions across
+        # tasks and EXPANDS the file count it is meant to shrink)
+        df = df.repartition(n_out, *spec_names)
+    else:
+        df = df.coalesce(n_out)
+    _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
+    new_files = _stat_commit_dir(t, md, location, commit_dir)
+    t.commit(
+        new_files, operation="replace",
+        replace_paths={f.path for f in sel},
+        summary={
+            "compaction-target-bytes": target_file_bytes,
+            "compaction-partitions": len(picked),
+        },
+    )
+    return {
+        "partitions_compacted": len(picked),
+        "files_in": len(sel),
+        "files_out": len(new_files),
+    }
+
+
 def _write_delete_files(
     md: dict,
     location: str,

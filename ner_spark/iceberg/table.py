@@ -935,6 +935,58 @@ class IcebergLocalTable:
             "partitions": summaries,
         }
 
+    def _rewrite_manifest_without(
+        self, m: dict, drop_paths: set[str], snapshot_id: int, seq: int
+    ) -> dict | None:
+        """Rewrite one carried manifest for a partial file replacement:
+        surviving entries become EXISTING (status 0, original sequence
+        numbers preserved — the MOR strict-sequence rule depends on
+        them), replaced entries are recorded as DELETED (status 2) by
+        this snapshot. The avro schema and spec metadata are copied from
+        the ORIGINAL container, so manifests written under an evolved-away
+        partition spec rewrite under their own spec. Returns the new
+        manifest-file record, or None if nothing survives."""
+        schema, meta, entries = avro_io.read_container(m["manifest_path"])
+        out, n_exist, n_del, rows_exist, rows_del = [], 0, 0, 0, 0
+        for e in entries:
+            if e["status"] == 2:
+                continue  # already deleted in an earlier rewrite
+            rec = dict(e)
+            if e["data_file"]["file_path"] in drop_paths:
+                rec["status"] = 2
+                rec["snapshot_id"] = snapshot_id
+                n_del += 1
+                rows_del += e["data_file"]["record_count"]
+            else:
+                rec["status"] = 0
+                n_exist += 1
+                rows_exist += e["data_file"]["record_count"]
+            out.append(rec)
+        if n_exist == 0 and n_del == 0:
+            return None
+        mpath = os.path.join(self.meta_dir, f"m-{uuid.uuid4()}.avro")
+        length = avro_io.write_container(mpath, schema, out, metadata=meta)
+        seqs = [e["sequence_number"] for e in out
+                if e["status"] == 0 and e.get("sequence_number") is not None]
+        return {
+            "manifest_path": mpath,
+            "manifest_length": length,
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs) if seqs else seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": n_exist,
+            "deleted_files_count": n_del,
+            "added_rows_count": 0,
+            "existing_rows_count": rows_exist,
+            "deleted_rows_count": rows_del,
+            # partition summaries of the superset stay valid (pruning is
+            # may-match; a wider summary only keeps a file it could skip)
+            "partitions": m.get("partitions"),
+        }
+
     def commit(
         self,
         files: list[DataFile],
@@ -942,6 +994,7 @@ class IcebergLocalTable:
         summary: dict | None = None,
         delete_files: list[DataFile] | None = None,
         branch: str = "main",
+        replace_paths: set[str] | None = None,
     ) -> int:
         """Commit a snapshot; returns the snapshot id.
 
@@ -990,13 +1043,42 @@ class IcebergLocalTable:
         else:
             parent = md.get("current-snapshot-id", -1)
 
+        if replace_paths is not None and operation != "replace":
+            raise ValueError("replace_paths requires operation='replace'")
         manifests: list[dict] = []
-        if operation in ("append", "delete") and parent not in (-1, None):
+        carry = operation in ("append", "delete") or (
+            operation == "replace" and replace_paths is not None
+        )
+        if carry and parent not in (-1, None):
             cur = next(
                 s for s in md["snapshots"] if s["snapshot-id"] == parent
             )
             _, _, prior = avro_io.read_container(cur["manifest-list"])
-            manifests.extend(prior)
+            if replace_paths is None:
+                manifests.extend(prior)
+            else:
+                # partial rewrite: delete manifests and untouched data
+                # manifests carry forward as-is; a data manifest naming a
+                # replaced file is rewritten (survivors EXISTING, replaced
+                # DELETED) so the rest of the table never moves
+                for m in prior:
+                    if m.get("content", 0) == 1:
+                        manifests.append(m)
+                        continue
+                    _, _, entries = avro_io.read_container(m["manifest_path"])
+                    touched = any(
+                        e["status"] != 2
+                        and e["data_file"]["file_path"] in replace_paths
+                        for e in entries
+                    )
+                    if not touched:
+                        manifests.append(m)
+                        continue
+                    rw = self._rewrite_manifest_without(
+                        m, replace_paths, snapshot_id, seq
+                    )
+                    if rw is not None:
+                        manifests.append(rw)
         if delete_files:
             manifests.insert(
                 0,
