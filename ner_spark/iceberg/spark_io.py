@@ -539,6 +539,7 @@ def compact_iceberg_partitions(
     location: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Partition-scoped rewrite_data_files: binpack ONLY the partitions
     whose live files are smaller than they should be, leaving the rest of
@@ -568,7 +569,10 @@ def compact_iceberg_partitions(
     for _part, fs in sorted(groups.items()):
         total = sum(f.file_size for f in fs)
         n_out = max(1, -(-total // target_file_bytes))
-        if len(fs) >= min_input_files and n_out < len(fs):
+        # binpack only helps when it shrinks the file count; a sorted
+        # rewrite also pays on an already-compact multi-file partition
+        # (overlapping bounds → disjoint bounds)
+        if len(fs) >= min_input_files and (sort_by or n_out < len(fs)):
             picked.append((fs, n_out))
     if not picked:
         return {"partitions_compacted": 0, "files_in": 0, "files_out": 0}
@@ -589,7 +593,16 @@ def compact_iceberg_partitions(
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
     df, spec_names = _partition_projection(t, md, df)
-    if spec_names:
+    if sort_by:
+        # sort-ordered rewrite: range-cluster so each rewritten
+        # partition's files cover DISJOINT sort-key ranges, then sort
+        # within files — the harvested min/max bounds become tight and a
+        # range probe on the sort column prunes at FILE level (Iceberg's
+        # sort-order rewrite). Worth it for the columns hot range probes
+        # name; plain binpack otherwise.
+        keys = list(spec_names or []) + list(sort_by)
+        df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    elif spec_names:
         # hash-cluster on the partition columns so each rewritten
         # partition binpacks into its own task → one output file per
         # small partition (a bare coalesce interleaves partitions across
@@ -599,13 +612,16 @@ def compact_iceberg_partitions(
         df = df.coalesce(n_out)
     _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
     new_files = _stat_commit_dir(t, md, location, commit_dir)
+    summ = {
+        "compaction-target-bytes": target_file_bytes,
+        "compaction-partitions": len(picked),
+    }
+    if sort_by:
+        summ["compaction-sort-order"] = ",".join(sort_by)
     t.commit(
         new_files, operation="replace",
         replace_paths={f.path for f in sel},
-        summary={
-            "compaction-target-bytes": target_file_bytes,
-            "compaction-partitions": len(picked),
-        },
+        summary=summ,
     )
     return {
         "partitions_compacted": len(picked),

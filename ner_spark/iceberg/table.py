@@ -1704,6 +1704,44 @@ class IcebergLocalTable:
         self._write_metadata(md, self.current_version() + 1)
         return target
 
+    def rollback_to(
+        self, snapshot_id: int, require_ancestor: bool = True
+    ) -> int:
+        """Move main back to ``snapshot_id`` — the undo for a bad publish.
+        One metadata swap; no file is touched, so rolling FORWARD again
+        (rollback_to the newer id with ``require_ancestor=False``) stays
+        possible until ``expire_snapshots`` reclaims it. By default the
+        target must be an ancestor of the current head (the spec's
+        rollback contract); ``require_ancestor=False`` is
+        set-current-snapshot for recovering onto a divergent line."""
+        md = self.metadata()
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        if snapshot_id not in by_id:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        cur = md.get("current-snapshot-id")
+        if require_ancestor:
+            anc = cur
+            while anc not in (None, -1) and anc != snapshot_id:
+                anc = by_id[anc].get("parent-snapshot-id") if anc in by_id \
+                    else None
+            if anc != snapshot_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of the "
+                    f"current head {cur}; pass require_ancestor=False to "
+                    "set-current-snapshot explicitly"
+                )
+        refs = dict(md.get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        md["refs"] = refs
+        md["current-snapshot-id"] = snapshot_id
+        now = _NOW_MS()
+        md["last-updated-ms"] = now
+        md["snapshot-log"].append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self._write_metadata(md, self.current_version() + 1)
+        return snapshot_id
+
     # ---- maintenance
 
     def remove_orphan_files(self) -> list[str]:

@@ -114,6 +114,67 @@ def test_mixed_manifest_rewrite_keeps_survivors_existing(spark, tmp_path):
     assert _rows(read_iceberg(spark, loc)) == before
 
 
+def test_sorted_rewrite_tightens_file_bounds(spark, tmp_path):
+    """Sort-ordered rewrite: after compacting with sort_by=['k'], files
+    cover disjoint k-ranges, so a k-range probe prunes at file level
+    where the unsorted layout scans everything."""
+    loc = str(tmp_path / "tbl")
+    # 6 appends, each spraying the FULL k-range → every file's (min, max)
+    # spans the whole domain and no range probe can prune
+    for i in range(6):
+        write_iceberg(
+            spark.range(0, 6000).filter(f"id % 6 = {i}").selectExpr(
+                "id as k", "'A' as status", "cast(id * 1.5 as double) as v"
+            ).coalesce(1),
+            loc, partition_by=["status"],
+            mode="overwrite" if i == 0 else "append",
+        )
+    t = IcebergLocalTable(loc)
+    probe = [("k", ">=", 100), ("k", "<", 400)]
+    assert len(t.scan(filters=probe)) == 6  # overlapping bounds: no pruning
+    before = _rows(read_iceberg(spark, loc))
+
+    # target sized to keep ~4 output files so pruning has file granularity
+    total = sum(f.file_size for f in t.scan())
+    stats = compact_iceberg_partitions(
+        spark, loc, target_file_bytes=total // 4, sort_by=["k"]
+    )
+    assert stats["partitions_compacted"] == 1
+    t = IcebergLocalTable(loc)
+    n_files = len(t.scan())
+    assert n_files >= 3
+    pruned = t.scan(filters=probe)
+    assert len(pruned) < n_files  # disjoint bounds: the probe prunes
+    assert _rows(read_iceberg(spark, loc, filters=probe)) == [
+        r for r in before if 100 <= r[0] < 400
+    ]
+    assert _rows(read_iceberg(spark, loc)) == before
+
+
+def test_rollback_undoes_bad_publish(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    s1 = write_iceberg(_batch(spark, 0, 50, "A"), loc,
+                       partition_by=["status"])
+    good = _rows(read_iceberg(spark, loc))
+    s2 = write_iceberg(_batch(spark, 50, 80, "B"), loc, mode="append")
+    t = IcebergLocalTable(loc)
+
+    assert t.rollback_to(s1) == s1
+    assert _rows(read_iceberg(spark, loc)) == good
+    # appends fork from the rolled-back head
+    s3 = write_iceberg(_batch(spark, 100, 110, "A"), loc, mode="append")
+    assert read_iceberg(spark, loc).count() == 60
+    # s2 is now off the main line: plain rollback refuses, explicit
+    # set-current recovers it (files still on disk until expiry)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to(s2)
+    t.rollback_to(s2, require_ancestor=False)
+    assert read_iceberg(spark, loc).count() == 80
+    with _pytest.raises(ValueError, match="not found"):
+        t.rollback_to(999)
+
+
 def test_partial_compaction_folds_mor_deltas_correctly(spark, tmp_path):
     loc = str(tmp_path / "tbl")
     write_iceberg(_batch(spark, 0, 30, "A").coalesce(1), loc,
