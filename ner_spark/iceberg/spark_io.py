@@ -630,6 +630,34 @@ def compact_iceberg_partitions(
     }
 
 
+def maintain_iceberg(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep_snapshots: int = 3,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """The nightly maintenance window as one call, in dependency order:
+    partition-scoped compaction (binpack small-file partitions, folding
+    MOR deltas; sorted rewrite if ``sort_by``), snapshot expiry (keeps
+    the newest ``keep_snapshots`` plus every ref head), then orphan-file
+    cleanup (crash debris only — expiry already reclaimed expired
+    snapshots' files). Each step is O(changed/unhealthy data), so the
+    pass costs what the day's churn costs, never O(table)."""
+    stats = compact_iceberg_partitions(
+        spark, location, target_file_bytes=target_file_bytes,
+        sort_by=sort_by,
+    )
+    t = IcebergLocalTable(location)
+    expired = t.expire_snapshots(keep_last=keep_snapshots)
+    orphans = t.remove_orphan_files()
+    return {
+        **stats,
+        "expired_files": len(expired),
+        "orphan_files": len(orphans),
+    }
+
+
 def _write_delete_files(
     md: dict,
     location: str,

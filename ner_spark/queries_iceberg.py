@@ -578,3 +578,71 @@ def iceberg_partitions_meta(spark, sf):
     return partitions_table(spark, loc).select(
         "partition", "file_count", "record_count"
     )
+
+
+@register(
+    "iceberg_sorted_rewrite",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 4 = 1)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM t
+    WHERE o_orderkey >= 1000 AND o_orderkey < 50000
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_sorted_rewrite(spark, sf):
+    """Sort-ordered rewrite differential: four hash-striped appends give
+    every file the full o_orderkey span (a key-range probe can prune
+    nothing), then ``compact_iceberg_partitions(sort_by=['o_orderkey'])``
+    rewrites each partition range-clustered + sorted, and the SAME range
+    probe is answered through the rewritten layout. The query asserts the
+    plan actually prunes (files hit < live files — the point of the
+    rewrite) and the oracle recomputes the aggregate from the raw rows:
+    a rewrite that drops/duplicates rows, breaks bound harvesting, or
+    prunes a file it needed is a value mismatch.
+
+    Scale shape: sort-ordered rewrite is how a 100 TB table buys
+    file-level pruning on a hot NON-partition column — bounds become
+    disjoint, and the probe cost is decided in manifest metadata.
+    """
+    from ner_spark.iceberg.spark_io import (
+        compact_iceberg_partitions,
+        read_iceberg,
+        write_iceberg,
+    )
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") % 4 == 1)
+    loc = tempfile.mkdtemp(prefix="iceberg_sort_") + "/orders_tbl"
+    for i in range(4):  # hash stripes → full key span per file
+        write_iceberg(
+            o.where(F.col("o_orderkey") % 16 == 1 + 4 * i).coalesce(1),
+            loc, partition_by=["o_orderstatus"],
+            mode="overwrite" if i == 0 else "append",
+        )
+    tbl = IcebergLocalTable(loc)
+    total = sum(f.file_size for f in tbl.scan())
+    compact_iceberg_partitions(
+        spark, loc, target_file_bytes=max(1, total // 8),
+        sort_by=["o_orderkey"],
+    )
+    tbl = IcebergLocalTable(loc)
+    probe = [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 50000)]
+    n_live, n_hit = len(tbl.scan()), len(tbl.scan(filters=probe))
+    if not n_hit < n_live:
+        raise AssertionError(
+            f"sorted rewrite did not prune: {n_hit}/{n_live} files hit"
+        )
+    return (
+        read_iceberg(spark, loc, filters=probe)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             _dsum("o_totalprice", "sum_price"))
+    )

@@ -151,6 +151,37 @@ def test_sorted_rewrite_tightens_file_bounds(spark, tmp_path):
     assert _rows(read_iceberg(spark, loc)) == before
 
 
+def test_maintain_iceberg_one_pass(spark, tmp_path):
+    """compact → expire → orphan-clean in one call; content identical,
+    history trimmed to keep_snapshots, crash debris gone."""
+    import os
+
+    from ner_spark.iceberg.spark_io import maintain_iceberg
+
+    loc = str(tmp_path / "tbl")
+    for i, lo in enumerate((0, 30, 60, 90)):
+        write_iceberg(_batch(spark, lo, lo + 30, "A").coalesce(1), loc,
+                      partition_by=["status"],
+                      mode="overwrite" if i == 0 else "append")
+    stray_dir = os.path.join(loc, "data", "seq=77")
+    os.makedirs(stray_dir)
+    open(os.path.join(stray_dir, "crash.parquet"), "wb").write(b"x")
+    before = _rows(read_iceberg(spark, loc))
+
+    stats = maintain_iceberg(spark, loc, keep_snapshots=1)
+    assert stats["partitions_compacted"] == 1
+    assert stats["expired_files"] > 0 and stats["orphan_files"] == 1
+    t = IcebergLocalTable(loc)
+    assert len(t.snapshots()) == 1 and len(t.scan()) == 1
+    assert _rows(read_iceberg(spark, loc)) == before
+    # converged: a second pass is a full no-op
+    again = maintain_iceberg(spark, loc, keep_snapshots=1)
+    assert again == {
+        "partitions_compacted": 0, "files_in": 0, "files_out": 0,
+        "expired_files": 0, "orphan_files": 0,
+    }
+
+
 def test_rollback_undoes_bad_publish(spark, tmp_path):
     loc = str(tmp_path / "tbl")
     s1 = write_iceberg(_batch(spark, 0, 50, "A"), loc,
