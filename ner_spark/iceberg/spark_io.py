@@ -419,6 +419,7 @@ def iceberg_sink(
     mode: str = "append",
     key: str | None = None,
     order_by: str | None = None,
+    branch: str = "main",
 ):
     """Exactly-once streaming sink: ``writeStream.foreachBatch(iceberg_sink(loc))``.
 
@@ -445,6 +446,16 @@ def iceberg_sink(
     column, e.g. a CDC LSN or event timestamp) to keep the LAST event
     per key; without it the surviving row is an arbitrary member of the
     key group (documented, same as dropDuplicates).
+
+    ``branch`` stages every micro-batch commit on a named branch instead
+    of main — streaming write-audit-publish. Readers of main never see
+    in-flight stream output; the replay guard reads the BRANCH head (the
+    stream's batch ids live there, not on main); and
+    ``ner_spark.plans.wap.wap_publish_stream`` audits the accumulated
+    branch delta and fast-forwards main in one O(1) metadata commit.
+    Append mode only: a staged MOR merge would equality-delete against
+    the branch while main readers keep the base, making publish-time
+    semantics ambiguous.
     """
     if mode not in ("append", "upsert"):
         raise ValueError(mode)
@@ -452,6 +463,11 @@ def iceberg_sink(
         raise ValueError("mode='upsert' requires key=")
     if order_by and mode != "upsert":
         raise ValueError("order_by only applies to mode='upsert'")
+    if branch != "main" and mode == "upsert":
+        # a staged MOR merge would equality-delete against the branch
+        # while main readers keep the base — publish-time semantics get
+        # ambiguous; streaming WAP is an append-ingest pattern
+        raise ValueError("branch staging supports mode='append' only")
 
     def _last_per_key(df: DataFrame) -> DataFrame:
         if order_by is None:
@@ -468,8 +484,18 @@ def iceberg_sink(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)
         exists = t.exists() and t.current_snapshot() is not None
-        if exists:
-            last = t.current_snapshot()["summary"].get("streaming-batch-id")
+        head = None
+        if t.exists():
+            # the replay guard reads the BRANCH head — a staged stream's
+            # batch ids live on its branch, not on main
+            r = t.refs().get(branch)
+            if r is not None:
+                head = next(
+                    s for s in t.snapshots()
+                    if s["snapshot-id"] == r["snapshot-id"]
+                )
+        if head is not None:
+            last = head["summary"].get("streaming-batch-id")
             if last is not None and int(last) >= batch_id:
                 return  # replayed batch: already committed
         summ = {"streaming-batch-id": batch_id}
@@ -488,6 +514,7 @@ def iceberg_sink(
             partition_by=partition_by,
             mode="append",
             summary=summ,
+            branch=branch,
         )
 
     return _write

@@ -84,6 +84,35 @@ def wap_ingest(
     # and an earlier refused batch's orphaned snapshot cannot leak in
     staged = read_iceberg_snapshot_adds(spark, transcripts_loc, staged_id)
 
+    checks, staged_rows = _audit_delta(
+        spark, transcripts_loc, staged, base_head,
+        extra_checks, max_collision_probe_keys,
+    )
+
+    published = all(c["ok"] for c in checks.values())
+    if published:
+        t.fast_forward("main", branch)
+        t.drop_ref(branch)
+    return {
+        "published": published,
+        "branch": branch,
+        "snapshot_id": staged_id,
+        "staged_rows": staged_rows,
+        "checks": checks,
+    }
+
+
+def _audit_delta(
+    spark: SparkSession,
+    transcripts_loc: str,
+    staged: DataFrame,
+    base_head: int | None,
+    extra_checks: list[Callable[[DataFrame], tuple[bool, str]]] | None,
+    max_collision_probe_keys: int,
+) -> tuple[dict, int]:
+    """The audit body shared by batch and streaming WAP: validate the
+    staged delta (what reached disk) against itself and against main as
+    of ``base_head`` (the fork point). Returns (checks, staged_rows)."""
     checks: dict[str, dict] = {}
     stats = staged.agg(
         F.count(F.lit(1)).alias("n"),
@@ -141,6 +170,86 @@ def wap_ingest(
             "ok": bool(ok), "detail": str(detail),
         }
 
+    return checks, stats["n"]
+
+
+def _staged_lineage(
+    t: IcebergLocalTable, branch: str
+) -> tuple[list[int], int | None]:
+    """Snapshot ids staged on ``branch`` that main does not have: walk
+    the branch head's parent chain until a main ancestor (the fork
+    point). Returns (staged ids oldest-first, fork-point id or None for
+    a table the branch itself created)."""
+    refs = t.refs()
+    if branch not in refs:
+        raise ValueError(f"no such branch: {branch!r}")
+    by_id = {s["snapshot-id"]: s for s in t.snapshots()}
+    main_anc: set[int] = set()
+    cur = (refs.get("main") or {}).get("snapshot-id")
+    while cur is not None and cur in by_id:
+        main_anc.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    staged: list[int] = []
+    cur = refs[branch]["snapshot-id"]
+    while cur is not None and cur in by_id and cur not in main_anc:
+        staged.append(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    fork = cur if cur in main_anc else None
+    return staged[::-1], fork
+
+
+def wap_publish_stream(
+    spark: SparkSession,
+    transcripts_loc: str,
+    branch: str,
+    extra_checks: list[Callable[[DataFrame], tuple[bool, str]]] | None = None,
+    max_collision_probe_keys: int = 10_000,
+) -> dict:
+    """Audit-and-publish for a STREAMED staging branch.
+
+    ``iceberg_sink(loc, branch=...)`` lands one append commit per
+    micro-batch on the branch; this is the publish half: recover every
+    snapshot the branch staged since it forked from main (ancestry walk
+    — immune to unrelated commits elsewhere in the sequence range),
+    audit the union of exactly those snapshots' added files with the
+    same checks as batch WAP, and on green fast-forward main over ALL
+    staged micro-batches in one O(1) metadata commit. A red audit
+    leaves main untouched and the branch readable for inspection; the
+    stream can keep appending to it and publish can be retried.
+
+    One extra check vs batch WAP: the staged lineage must be
+    append-only (the sink enforces this at write time; re-verified here
+    from snapshot metadata because publish may run in a different
+    process than the stream).
+    """
+    t = IcebergLocalTable(transcripts_loc)
+    staged_ids, fork = _staged_lineage(t, branch)
+    if not staged_ids:
+        return {
+            "published": False, "branch": branch, "snapshot_id": None,
+            "staged_snapshots": 0, "staged_rows": 0,
+            "checks": {"staged_nonempty": {
+                "ok": False,
+                "detail": "branch head is already on main; nothing staged",
+            }},
+        }
+    by_id = {s["snapshot-id"]: s for s in t.snapshots()}
+    ops = {by_id[sid]["summary"]["operation"] for sid in staged_ids}
+    checks: dict[str, dict] = {
+        "append_only": {
+            "ok": ops == {"append"},
+            "detail": f"staged operations: {sorted(ops)}",
+        }
+    }
+    staged: DataFrame | None = None
+    for sid in staged_ids:
+        part = read_iceberg_snapshot_adds(spark, transcripts_loc, sid)
+        staged = part if staged is None else staged.unionByName(part)
+    delta_checks, staged_rows = _audit_delta(
+        spark, transcripts_loc, staged, fork,
+        extra_checks, max_collision_probe_keys,
+    )
+    checks.update(delta_checks)
     published = all(c["ok"] for c in checks.values())
     if published:
         t.fast_forward("main", branch)
@@ -148,7 +257,8 @@ def wap_ingest(
     return {
         "published": published,
         "branch": branch,
-        "snapshot_id": staged_id,
-        "staged_rows": stats["n"],
+        "snapshot_id": staged_ids[-1],
+        "staged_snapshots": len(staged_ids),
+        "staged_rows": staged_rows,
         "checks": checks,
     }

@@ -1,0 +1,143 @@
+"""Streaming write-audit-publish (iceberg_sink(branch=) + wap_publish_stream).
+
+Contract: a stream stages one append commit per micro-batch on a named
+branch — invisible to main readers — with the exactly-once replay guard
+reading the BRANCH head; publish audits the union of exactly the staged
+snapshots' added files and fast-forwards main over all of them in one
+metadata commit. A red audit leaves main byte-untouched with the branch
+inspectable; a diverged branch refuses to publish rather than dropping
+commits; upsert mode refuses branch staging outright.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.iceberg.spark_io import (
+    iceberg_sink,
+    read_iceberg,
+    write_iceberg,
+)
+from ner_spark.iceberg.table import IcebergLocalTable
+from ner_spark.plans.wap import wap_publish_stream
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _turns(spark, conv: str, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.lit(conv).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit(f"{conv} turn "), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_stages_on_branch_then_publishes(spark, tmp_path):
+    loc = str(tmp_path / "tx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = _turns(spark, "c_base", 0, 10)
+    write_iceberg(base, loc, mode="append")
+    head_before = IcebergLocalTable(loc).current_snapshot()["snapshot-id"]
+
+    # two source files → maxFilesPerTrigger=1 forces >=2 micro-batches,
+    # i.e. >=2 staged snapshots on the branch
+    _turns(spark, "c_s1", 0, 7).coalesce(1).write.mode("append").parquet(src)
+    _turns(spark, "c_s2", 0, 5).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(iceberg_sink(loc, branch="ingest-audit"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # staged output is invisible on main, visible on the branch
+    t = IcebergLocalTable(loc)
+    assert t.current_snapshot()["snapshot-id"] == head_before
+    assert read_iceberg(spark, loc).count() == 10
+    assert read_iceberg(spark, loc, ref="ingest-audit").count() == 22
+
+    r = wap_publish_stream(spark, loc, "ingest-audit")
+    assert r["published"], r["checks"]
+    assert r["staged_snapshots"] >= 2
+    assert r["staged_rows"] == 12
+    assert r["checks"]["append_only"]["ok"]
+    assert "key_collision_with_main" in r["checks"]
+
+    t = IcebergLocalTable(loc)
+    assert set(t.refs()) == {"main"}
+    expect = base.unionByName(_turns(spark, "c_s1", 0, 7)).unionByName(
+        _turns(spark, "c_s2", 0, 5)
+    )
+    assert _rows(read_iceberg(spark, loc)) == _rows(expect)
+
+
+def test_branch_replay_guard_reads_branch_head(spark, tmp_path):
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c_base", 0, 4), loc, mode="append")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    # a direct main commit between micro-batches must not confuse the
+    # guard: the stream's batch ids live on the branch head, not main's
+    write_iceberg(_turns(spark, "c_main2", 0, 2), loc, mode="append")
+    sink(_turns(spark, "c_b", 0, 2), 1)
+    sink(_turns(spark, "c_b", 0, 2), 1)  # foreachBatch replay → no-op
+    sink(_turns(spark, "c_a", 0, 3), 0)  # older replay → no-op
+    t = IcebergLocalTable(loc)
+    branch_head = next(
+        s for s in t.snapshots()
+        if s["snapshot-id"] == t.refs()["st"]["snapshot-id"]
+    )
+    assert branch_head["summary"]["streaming-batch-id"] == "1"
+    assert read_iceberg(spark, loc, ref="st").count() == 4 + 3 + 2
+    # main moved past the fork point → the branch is diverged; publish
+    # must refuse (fast-forward would drop main's commit) rather than
+    # silently merging
+    with pytest.raises(ValueError, match="ancestor"):
+        wap_publish_stream(spark, loc, "st")
+
+
+def test_red_stream_audit_keeps_branch_main_untouched(spark, tmp_path):
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c1", 0, 6), loc, mode="append")
+    main_before = _rows(read_iceberg(spark, loc))
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c2", 0, 3), 0)
+    sink(_turns(spark, "c1", 4, 8), 1)  # turns 4,5 collide with main
+    r = wap_publish_stream(spark, loc, "st")
+    assert not r["published"]
+    assert not r["checks"]["key_collision_with_main"]["ok"]
+    t = IcebergLocalTable(loc)
+    assert "st" in t.refs()  # kept for inspection
+    assert _rows(read_iceberg(spark, loc)) == main_before
+    # the audit saw the union of BOTH staged micro-batches
+    assert r["staged_rows"] == 7 and r["staged_snapshots"] == 2
+
+
+def test_branch_upsert_refused_and_empty_branch_noop(spark, tmp_path):
+    with pytest.raises(ValueError, match="append"):
+        iceberg_sink("/x", mode="upsert", key="k", branch="st")
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c1", 0, 3), loc, mode="append")
+    t = IcebergLocalTable(loc)
+    t.create_branch("st")  # forked but nothing staged
+    r = wap_publish_stream(spark, loc, "st")
+    assert not r["published"] and r["staged_snapshots"] == 0
+    assert not r["checks"]["staged_nonempty"]["ok"]
+    with pytest.raises(ValueError, match="no such branch"):
+        wap_publish_stream(spark, loc, "nope")
