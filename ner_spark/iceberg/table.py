@@ -1554,26 +1554,39 @@ class IcebergLocalTable:
         }
 
     def snapshot_changes(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        allow_overwrite: bool = False,
     ) -> list[dict]:
-        """Per-snapshot change sets after ``from_snapshot_id`` (exclusive)
-        — the CDC view a consumer needs when the range is NOT append-only
-        and ``scan_incremental`` refuses. Each entry is
-        ``{"snapshot", "operation", "data_files", "delete_files"}`` with
-        only the files ADDED by that snapshot (status=1 in its own
-        manifest list); ``replace`` (compaction) snapshots are skipped —
-        no logical change — and an ``overwrite`` still raises, because a
-        truncate-and-write breaks any delta representation.
+        """Per-snapshot change sets after ``from_snapshot_id`` (exclusive;
+        ``None`` = since table creation) — the CDC view a consumer needs
+        when the range is NOT append-only and ``scan_incremental``
+        refuses. Each entry is ``{"snapshot", "operation", "data_files",
+        "delete_files", "removed_data_files"}`` with only the files ADDED
+        by that snapshot (status=1 in its own manifest list); ``replace``
+        (compaction) snapshots are skipped — no logical change. An
+        ``overwrite`` raises by default because a truncate-and-write
+        breaks the append-delta representation; with
+        ``allow_overwrite=True`` it is instead expressed as a file diff
+        against the parent (``removed_data_files`` = live-at-parent minus
+        live-here, by path) for changelog consumers that can turn removed
+        files back into deleted rows.
         """
         md = self.metadata()
         snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-        if from_snapshot_id not in snaps:
-            raise ValueError(f"from snapshot {from_snapshot_id} not found")
+        if from_snapshot_id is None:
+            lo = 0  # sequence numbers start at 1: include everything
+        else:
+            if from_snapshot_id not in snaps:
+                raise ValueError(
+                    f"from snapshot {from_snapshot_id} not found"
+                )
+            lo = snaps[from_snapshot_id]["sequence-number"]
         if to_snapshot_id is None:
             to_snapshot_id = md["current-snapshot-id"]
         if to_snapshot_id not in snaps:
             raise ValueError(f"to snapshot {to_snapshot_id} not found")
-        lo = snaps[from_snapshot_id]["sequence-number"]
         hi = snaps[to_snapshot_id]["sequence-number"]
         if hi < lo:
             raise ValueError("to snapshot precedes from snapshot")
@@ -1585,13 +1598,24 @@ class IcebergLocalTable:
             op = s["summary"]["operation"]
             if op == "replace":
                 continue
+            removed: list[DataFile] = []
             if op == "overwrite":
-                raise ValueError(
-                    f"changes cross an overwrite snapshot "
-                    f"(seq {s['sequence-number']}); re-read the table"
-                )
+                if not allow_overwrite:
+                    raise ValueError(
+                        f"changes cross an overwrite snapshot "
+                        f"(seq {s['sequence-number']}); re-read the table"
+                    )
+                parent = s.get("parent-snapshot-id")
+                live_here = {f.path for f in
+                             self.scan(snapshot_id=s["snapshot-id"])}
+                if parent is not None:
+                    removed = [
+                        f for f in self.scan(snapshot_id=parent)
+                        if f.path not in live_here
+                    ]
             ch = {"snapshot": s, "operation": op,
-                  "data_files": [], "delete_files": []}
+                  "data_files": [], "delete_files": [],
+                  "removed_data_files": removed}
             _, _, manifests = avro_io.read_container(s["manifest-list"])
             for m in manifests:
                 if m["sequence_number"] != s["sequence-number"]:

@@ -302,6 +302,85 @@ def iceberg_cdc_changed_keys(spark, sf):
 
 
 @register(
+    "iceberg_changelog",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0),
+    a2 AS (  -- commit 1 in the range: a plain append
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1),
+    st2 AS (SELECT * FROM base UNION ALL SELECT * FROM a2),
+    del3 AS (  -- commit 2: position DELETE WHERE o_totalprice < 40000
+      SELECT * FROM st2 WHERE o_totalprice < 40000.0),
+    st3 AS (SELECT * FROM st2 WHERE NOT (o_totalprice < 40000.0)),
+    del4 AS (  -- commit 3 delete half: rows LIVE at the parent matching
+               -- the merge delta's keys (already-deleted rows excluded)
+      SELECT * FROM st3 WHERE o_orderkey % 8 = 4),
+    ins4 AS (  -- commit 3 insert half: the delta's rows
+      SELECT o_orderkey, 'M' AS o_orderstatus, 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 = 4),
+    chg AS (
+      SELECT 1 AS _commit_order, 'insert' AS _change_type, o_totalprice
+      FROM a2
+      UNION ALL SELECT 2, 'delete', o_totalprice FROM del3
+      UNION ALL SELECT 3, 'delete', o_totalprice FROM del4
+      UNION ALL SELECT 3, 'insert', o_totalprice FROM ins4)
+    SELECT _commit_order, _change_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM chg GROUP BY _commit_order, _change_type
+    """,
+)
+def iceberg_changelog(spark, sf):
+    """Row-level changelog (CDC view) across MOR history: after an
+    append, a position DELETE WHERE, and a single-commit MOR MERGE,
+    ``read_iceberg_changelog`` must emit exactly the insert/delete rows
+    each snapshot caused — deletes recovered from the snapshots' own
+    delete files (position ordinals joined back to only the named files;
+    equality keys semi-joined against the parent state under the
+    strict-sequence rule), the merge appearing as delete(old)+insert(new)
+    at one commit, and rows ALREADY deleted by an earlier commit never
+    re-emitted. The oracle replays the same history relationally, so any
+    changelog bookkeeping error (a delete attributed to the wrong
+    commit, a pre-image leak, a double-emitted row) is a value mismatch.
+
+    Scale shape: each commit's changes come from its own O(delta) change
+    files — a downstream maintainer at 10^12 turns reads the day's
+    change rows, never the table; only equality deletes re-read the
+    parent state, behind a broadcast semi-join that a key-bucketed
+    layout prunes.
+    """
+    from ner_spark.iceberg.spark_io import (
+        delete_iceberg_where,
+        merge_upsert_iceberg_mor,
+        read_iceberg_changelog,
+        write_iceberg,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/orders_chlog"
+    s1 = write_iceberg(o.where(key % 4 == 0), loc, run_id="c0")
+    write_iceberg(o.where(key % 4 == 1), loc, mode="append")
+    delete_iceberg_where(spark, loc, [("o_totalprice", "<", 40000.0)])
+    delta = o.where(key % 8 == 4).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merge_upsert_iceberg_mor(spark, loc, delta, key="o_orderkey")
+
+    log = read_iceberg_changelog(spark, loc, from_snapshot_id=s1)
+    return log.groupBy("_commit_order", "_change_type").agg(
+        F.count("*").alias("n_rows"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
     "iceberg_pruned_scan",
     """
     SELECT l_linestatus, COUNT(*) AS n_rows,
