@@ -847,20 +847,25 @@ def maintain_iceberg(
 ) -> dict:
     """The nightly maintenance window as one call, in dependency order:
     partition-scoped compaction (binpack small-file partitions, folding
-    MOR deltas; sorted rewrite if ``sort_by``), snapshot expiry (keeps
-    the newest ``keep_snapshots`` plus every ref head), then orphan-file
-    cleanup (crash debris only — expiry already reclaimed expired
-    snapshots' files). Each step is O(changed/unhealthy data), so the
-    pass costs what the day's churn costs, never O(table)."""
+    MOR deltas; sorted rewrite if ``sort_by``), manifest rewrite (merge
+    the day's per-commit manifests so scan planning opens few Avro
+    files, not one per commit), snapshot expiry (keeps the newest
+    ``keep_snapshots`` plus every ref head), then orphan-file cleanup
+    (crash debris only — expiry already reclaimed expired snapshots'
+    files). Each step is O(changed/unhealthy data), so the pass costs
+    what the day's churn costs, never O(table)."""
     stats = compact_iceberg_partitions(
         spark, location, target_file_bytes=target_file_bytes,
         sort_by=sort_by,
     )
     t = IcebergLocalTable(location)
+    mstats = t.rewrite_manifests()
     expired = t.expire_snapshots(keep_last=keep_snapshots)
     orphans = t.remove_orphan_files()
     return {
         **stats,
+        "manifests_merged": mstats["manifests_before"]
+        - mstats["manifests_after"],
         "expired_files": len(expired),
         "orphan_files": len(orphans),
     }

@@ -995,6 +995,7 @@ class IcebergLocalTable:
         delete_files: list[DataFile] | None = None,
         branch: str = "main",
         replace_paths: set[str] | None = None,
+        manifests_override=None,
     ) -> int:
         """Commit a snapshot; returns the snapshot id.
 
@@ -1086,6 +1087,17 @@ class IcebergLocalTable:
             )
         if files:
             manifests.insert(0, self._write_manifest(md, files, snapshot_id, seq))
+        if manifests_override is not None:
+            # metadata-only commit (rewrite_manifests): the caller
+            # supplies the full manifest list, built against the ids
+            # this commit allocated
+            if operation != "replace" or files or delete_files \
+                    or replace_paths is not None:
+                raise ValueError(
+                    "manifests_override requires operation='replace' "
+                    "with no files/delete_files/replace_paths"
+                )
+            manifests = manifests_override(snapshot_id, seq)
 
         ml_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
@@ -1794,6 +1806,157 @@ class IcebergLocalTable:
         for p in sorted(dead):
             os.remove(p)
         return sorted(dead)
+
+    def rewrite_manifests(self, min_count_to_merge: int = 2) -> dict:
+        """Compact the MANIFEST layer: merge each (content, spec-id)
+        group of the current manifest list that has at least
+        ``min_count_to_merge`` manifests into one manifest, and commit a
+        ``replace`` snapshot that changes no data file and no logical
+        row. Merged entries become EXISTING with their ORIGINAL
+        sequence numbers and snapshot ids (the MOR strict-sequence rule
+        and per-file provenance survive); DELETED tombstone entries are
+        dropped (history keeps them in the old snapshots' own manifest
+        lists); per-manifest partition summaries are recomputed so
+        manifest-level pruning keeps working on the merged file.
+
+        Why it exists at scale: a 10^12-turn table ingesting thousands
+        of commits per day accrues one manifest per commit — a scan
+        plan that opens 100k tiny Avro files is a metadata bottleneck
+        long before data IO is. This is upstream Iceberg's
+        rewrite_manifests maintenance action; run it on the same
+        windows as data compaction. Returns counts:
+        ``{"manifests_before", "manifests_after", "merged_groups"}``.
+        """
+        md = self.metadata()
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"manifests_before": 0, "manifests_after": 0,
+                    "merged_groups": 0}
+        _, _, manifests = avro_io.read_container(snap["manifest-list"])
+        groups: dict[tuple, list[dict]] = {}
+        for m in manifests:
+            key = (m.get("content", 0), m["partition_spec_id"])
+            groups.setdefault(key, []).append(m)
+        mergeable = {k: ms for k, ms in groups.items()
+                     if len(ms) >= min_count_to_merge}
+        if not mergeable:
+            return {"manifests_before": len(manifests),
+                    "manifests_after": len(manifests), "merged_groups": 0}
+
+        def _build(snapshot_id: int, seq: int) -> list[dict]:
+            out: list[dict] = []
+            for key in sorted(groups):
+                ms = groups[key]
+                if key not in mergeable:
+                    out.extend(ms)
+                    continue
+                merged = self._merge_manifest_group(
+                    md, ms, *key, snapshot_id, seq
+                )
+                if merged is not None:
+                    out.append(merged)
+            return out
+
+        self.commit(
+            [], operation="replace",
+            summary={"rewrite-manifests": "true",
+                     "manifests-replaced": len(manifests)},
+            manifests_override=_build,
+        )
+        _, _, after = avro_io.read_container(
+            self.current_snapshot()["manifest-list"]
+        )
+        return {"manifests_before": len(manifests),
+                "manifests_after": len(after),
+                "merged_groups": len(mergeable)}
+
+    def _merge_manifest_group(
+        self,
+        md: dict,
+        ms: list[dict],
+        content: int,
+        spec_id: int,
+        snapshot_id: int,
+        seq: int,
+    ) -> dict | None:
+        """Merge one (content, spec-id) manifest group into a single
+        manifest of EXISTING entries. Entry sequence numbers, file
+        sequence numbers, and snapshot ids are preserved verbatim; the
+        entry Avro schema is rebuilt from the group's partition spec and
+        the CURRENT table schema (safe across int→long / float→double
+        promotions — old narrow values encode under the wide type)."""
+        struct = self._schema_struct(md)
+        spec_fields = next(
+            (s["fields"] for s in md.get("partition-specs", [])
+             if s["spec-id"] == spec_id), [],
+        )
+        entries: list[dict] = []
+        seqs: list[int] = []
+        n_rows = 0
+        for m in ms:
+            _, _, es = avro_io.read_container(m["manifest_path"])
+            for e in es:
+                if e["status"] == 2:
+                    continue  # tombstone: not live; old lists keep it
+                rec = dict(e)
+                rec["status"] = 0  # EXISTING
+                entries.append(rec)
+                sn = rec.get("sequence_number")
+                seqs.append(seq if sn is None else sn)
+                n_rows += rec["data_file"]["record_count"]
+        if not entries:
+            return None
+        mpath = os.path.join(self.meta_dir, f"m-{uuid.uuid4()}.avro")
+        length = avro_io.write_container(
+            mpath,
+            manifest_entry_schema(spec_fields, struct),
+            entries,
+            metadata={
+                "schema": json.dumps(struct | {"type": "struct"}),
+                "schema-id": str(md["current-schema-id"]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "deletes" if content else "data",
+            },
+        )
+        summaries = None
+        if spec_fields:
+            summaries = []
+            parts = [e["data_file"].get("partition") or {} for e in entries]
+            for pf in spec_fields:
+                rt = partition_result_type(pf, struct)
+                vals = [p.get(pf["name"]) for p in parts]
+                non_null = [v for v in vals if v is not None]
+                lo = (
+                    encode_single(rt, truncate_lower(rt, min(non_null)))
+                    if non_null else None
+                )
+                hi_v = truncate_upper(rt, max(non_null)) if non_null else None
+                summaries.append({
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": lo,
+                    "upper_bound": (
+                        encode_single(rt, hi_v) if hi_v is not None else None
+                    ),
+                })
+        return {
+            "manifest_path": mpath,
+            "manifest_length": length,
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(entries),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": n_rows,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+        }
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots; delete data

@@ -178,7 +178,7 @@ def test_maintain_iceberg_one_pass(spark, tmp_path):
     again = maintain_iceberg(spark, loc, keep_snapshots=1)
     assert again == {
         "partitions_compacted": 0, "files_in": 0, "files_out": 0,
-        "expired_files": 0, "orphan_files": 0,
+        "manifests_merged": 0, "expired_files": 0, "orphan_files": 0,
     }
 
 
