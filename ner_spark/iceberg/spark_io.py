@@ -637,6 +637,14 @@ def iceberg_sink(
     Append mode only: a staged MOR merge would equality-delete against
     the branch while main readers keep the base, making publish-time
     semantics ambiguous.
+
+    The replay guard takes the max batch id over the branch's AND
+    main's chains — publish drops the branch ref, and a batch replayed
+    across that boundary must still no-op (its stamp now lives on
+    main's lineage, carried through fast-forward and cherry-pick alike).
+    Consequence: batch ids are per-checkpoint, so run at most ONE stream
+    per table — two concurrent streams would suppress each other's
+    batches (same contract as Iceberg's own streaming writer).
     """
     if mode not in ("append", "upsert"):
         raise ValueError(mode)
@@ -662,22 +670,33 @@ def iceberg_sink(
             .drop("__rn")
         )
 
+    def _last_batch_id(t: IcebergLocalTable) -> int | None:
+        """Newest committed streaming-batch-id visible to this stream:
+        the max over the staging branch's chain AND main's chain. Main
+        must be consulted too — after a WAP publish the branch ref is
+        dropped, and a batch replayed across that boundary would
+        otherwise re-commit onto a fresh branch fork (duplicate rows on
+        the next publish)."""
+        by_id = {s["snapshot-id"]: s for s in t.snapshots()}
+        refs = t.refs()
+        best = None
+        for ref in {branch, "main"}:
+            r = refs.get(ref)
+            cur = r["snapshot-id"] if r is not None else None
+            while cur is not None and cur in by_id:
+                b = by_id[cur]["summary"].get("streaming-batch-id")
+                if b is not None:
+                    best = max(best if best is not None else -1, int(b))
+                    break  # newest stamped snapshot on this chain wins
+                cur = by_id[cur].get("parent-snapshot-id")
+        return best
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)
         exists = t.exists() and t.current_snapshot() is not None
-        head = None
         if t.exists():
-            # the replay guard reads the BRANCH head — a staged stream's
-            # batch ids live on its branch, not on main
-            r = t.refs().get(branch)
-            if r is not None:
-                head = next(
-                    s for s in t.snapshots()
-                    if s["snapshot-id"] == r["snapshot-id"]
-                )
-        if head is not None:
-            last = head["summary"].get("streaming-batch-id")
-            if last is not None and int(last) >= batch_id:
+            last = _last_batch_id(t)
+            if last is not None and last >= batch_id:
                 return  # replayed batch: already committed
         summ = {"streaming-batch-id": batch_id}
         if mode == "upsert":

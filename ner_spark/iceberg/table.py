@@ -1088,14 +1088,14 @@ class IcebergLocalTable:
         if files:
             manifests.insert(0, self._write_manifest(md, files, snapshot_id, seq))
         if manifests_override is not None:
-            # metadata-only commit (rewrite_manifests): the caller
-            # supplies the full manifest list, built against the ids
-            # this commit allocated
-            if operation != "replace" or files or delete_files \
-                    or replace_paths is not None:
+            # metadata-level commit (rewrite_manifests, cherry_pick):
+            # the caller supplies the full manifest list, built against
+            # the ids this commit allocated
+            if operation not in ("replace", "append") or files \
+                    or delete_files or replace_paths is not None:
                 raise ValueError(
-                    "manifests_override requires operation='replace' "
-                    "with no files/delete_files/replace_paths"
+                    "manifests_override requires operation='replace' or "
+                    "'append' with no files/delete_files/replace_paths"
                 )
             manifests = manifests_override(snapshot_id, seq)
 
@@ -1739,6 +1739,59 @@ class IcebergLocalTable:
             )
         self._write_metadata(md, self.current_version() + 1)
         return target
+
+    def cherry_pick(self, snapshot_id: int, branch: str = "main") -> int:
+        """Re-apply one APPEND snapshot's changes onto ``branch`` as a
+        new commit — the publish path for a staged snapshot whose branch
+        has DIVERGED from main (fast_forward correctly refuses there).
+
+        The staged snapshot's own added manifests are carried into the
+        new commit's manifest list VERBATIM — same Avro files, original
+        entry sequence numbers and bounds — so no data file moves, file
+        pruning keeps full statistics, and the hive ``seq=N`` row stamps
+        stay consistent with the manifest entries. Only ``append``
+        snapshots are eligible: re-applying a delete/overwrite under a
+        moved base would silently change which rows it affects (upstream
+        Iceberg's cherrypick_snapshot draws the same line).
+        """
+        md = self.metadata()
+        snap = next(
+            (s for s in md.get("snapshots", [])
+             if s["snapshot-id"] == snapshot_id), None,
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        if snap["summary"]["operation"] != "append":
+            raise ValueError(
+                "cherry_pick supports append snapshots only; "
+                f"{snapshot_id} is {snap['summary']['operation']!r}"
+            )
+        _, _, own = avro_io.read_container(snap["manifest-list"])
+        added = [m for m in own
+                 if m["sequence_number"] == snap["sequence-number"]]
+        if not added:
+            raise ValueError(f"snapshot {snapshot_id} added no manifests")
+
+        def _build(new_id: int, new_seq: int) -> list[dict]:
+            refs = self.metadata().get("refs") or {}
+            head = (refs.get(branch) or {}).get("snapshot-id")
+            carried: list[dict] = []
+            if head is not None:
+                cur = next(
+                    s for s in self.metadata()["snapshots"]
+                    if s["snapshot-id"] == head
+                )
+                _, _, carried = avro_io.read_container(cur["manifest-list"])
+            return added + carried
+
+        summ = {"cherry-picked-from": snapshot_id}
+        bid = snap["summary"].get("streaming-batch-id")
+        if bid is not None:
+            summ["streaming-batch-id"] = bid
+        return self.commit(
+            [], operation="append", summary=summ, branch=branch,
+            manifests_override=_build,
+        )
 
     def rollback_to(
         self, snapshot_id: int, require_ancestor: bool = True

@@ -204,6 +204,7 @@ def wap_publish_stream(
     branch: str,
     extra_checks: list[Callable[[DataFrame], tuple[bool, str]]] | None = None,
     max_collision_probe_keys: int = 10_000,
+    rebase_on_diverged: bool = False,
 ) -> dict:
     """Audit-and-publish for a STREAMED staging branch.
 
@@ -221,6 +222,18 @@ def wap_publish_stream(
     append-only (the sink enforces this at write time; re-verified here
     from snapshot metadata because publish may run in a different
     process than the stream).
+
+    If main advanced since the branch forked, fast-forward correctly
+    refuses (a silent merge would drop main's commits). With
+    ``rebase_on_diverged=True`` a green audit publishes anyway by
+    CHERRY-PICKING each staged append onto the current main head —
+    manifest-reusing metadata commits, no data file moves — provided
+    main's interim commits are append/replace only (a row delta on main
+    could target the staged rows' keys, and re-ordering deletes across
+    appends changes semantics; refused conservatively). The audit's
+    collision probe always runs against the CURRENT main head, so a
+    rebase cannot publish turns main gained while the stream was
+    staging.
     """
     t = IcebergLocalTable(transcripts_loc)
     staged_ids, fork = _staged_lineage(t, branch)
@@ -245,17 +258,42 @@ def wap_publish_stream(
     for sid in staged_ids:
         part = read_iceberg_snapshot_adds(spark, transcripts_loc, sid)
         staged = part if staged is None else staged.unionByName(part)
+    # audit against the CURRENT main head, not the fork point: if main
+    # advanced while the stream staged, new collisions must fail the
+    # audit before any rebase can publish them
+    main_head = (t.refs().get("main") or {}).get("snapshot-id")
     delta_checks, staged_rows = _audit_delta(
-        spark, transcripts_loc, staged, fork,
+        spark, transcripts_loc, staged, main_head,
         extra_checks, max_collision_probe_keys,
     )
     checks.update(delta_checks)
     published = all(c["ok"] for c in checks.values())
+    rebased = False
     if published:
-        t.fast_forward("main", branch)
+        diverged = fork != main_head
+        if not diverged or not rebase_on_diverged:
+            # fast-forward refuses a diverged branch with a clear error
+            t.fast_forward("main", branch)
+        else:
+            interim = (
+                t.operations_between(fork, main_head)
+                if fork is not None else {"unknown-lineage"}
+            )
+            bad = interim - {"append", "replace"}
+            if bad:
+                raise ValueError(
+                    "cannot rebase-publish: main gained "
+                    f"{sorted(bad)} commits since the fork; row deltas "
+                    "do not commute with the staged appends — re-stage "
+                    "against the current head"
+                )
+            for sid in staged_ids:
+                t.cherry_pick(sid)
+            rebased = True
         t.drop_ref(branch)
     return {
         "published": published,
+        "rebased": rebased,
         "branch": branch,
         "snapshot_id": staged_ids[-1],
         "staged_snapshots": len(staged_ids),

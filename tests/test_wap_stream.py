@@ -129,6 +129,83 @@ def test_red_stream_audit_keeps_branch_main_untouched(spark, tmp_path):
     assert r["staged_rows"] == 7 and r["staged_snapshots"] == 2
 
 
+def test_replay_after_publish_is_noop(spark, tmp_path):
+    """The guard must survive the publish dropping the branch ref: a
+    batch replayed across that boundary would otherwise re-commit onto
+    a fresh branch fork and duplicate rows at the next publish."""
+    loc = str(tmp_path / "tx")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    sink(_turns(spark, "c_b", 0, 2), 1)
+    assert wap_publish_stream(spark, loc, "st")["published"]
+    n_snaps = len(IcebergLocalTable(loc).snapshots())
+    sink(_turns(spark, "c_b", 0, 2), 1)  # replay across the publish
+    t = IcebergLocalTable(loc)
+    assert len(t.snapshots()) == n_snaps  # no-op: no new commit, no branch
+    assert "st" not in t.refs()
+    # a genuinely NEW batch still lands (on a fresh branch fork)
+    sink(_turns(spark, "c_c", 0, 1), 2)
+    assert read_iceberg(spark, loc, ref="st").count() == 6
+    assert wap_publish_stream(spark, loc, "st")["published"]
+    assert read_iceberg(spark, loc).count() == 6
+
+
+def test_rebase_publish_after_main_advances(spark, tmp_path):
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c_base", 0, 4), loc, mode="append")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    # main advances while the stream stages → diverged
+    write_iceberg(_turns(spark, "c_main2", 0, 2), loc, mode="append")
+    sink(_turns(spark, "c_b", 0, 2), 1)
+
+    r = wap_publish_stream(spark, loc, "st", rebase_on_diverged=True)
+    assert r["published"] and r["rebased"], r["checks"]
+    t = IcebergLocalTable(loc)
+    assert "st" not in t.refs()
+    expect = (
+        _turns(spark, "c_base", 0, 4)
+        .unionByName(_turns(spark, "c_main2", 0, 2))
+        .unionByName(_turns(spark, "c_a", 0, 3))
+        .unionByName(_turns(spark, "c_b", 0, 2))
+    )
+    assert _rows(read_iceberg(spark, loc)) == _rows(expect)
+    # cherry-picked commits carry provenance + the batch stamp, so the
+    # replay guard keeps working after the rebase publish
+    picked = [s for s in t.snapshots()
+              if "cherry-picked-from" in s["summary"]]
+    assert len(picked) == 2
+    assert picked[-1]["summary"]["streaming-batch-id"] == "1"
+    sink(_turns(spark, "c_b", 0, 2), 1)  # replay → no-op
+    assert len(IcebergLocalTable(loc).snapshots()) == len(t.snapshots())
+
+
+def test_rebase_refused_on_interim_row_delta_or_collision(spark, tmp_path):
+    from ner_spark.iceberg.spark_io import delete_iceberg_where
+
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c_base", 0, 4), loc, mode="append")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    # a MOR delete lands on main: row deltas don't commute with the
+    # staged appends, so rebase must refuse even on a green audit
+    delete_iceberg_where(spark, loc, [("turn_idx", "<", 1)])
+    with pytest.raises(ValueError, match="do not commute"):
+        wap_publish_stream(spark, loc, "st", rebase_on_diverged=True)
+    assert "st" in IcebergLocalTable(loc).refs()  # branch kept
+
+    # collision case: main gains the SAME turns the stream staged — the
+    # audit (against CURRENT main) goes red before any rebase
+    loc2 = str(tmp_path / "tx2")
+    write_iceberg(_turns(spark, "c_base", 0, 4), loc2, mode="append")
+    sink2 = iceberg_sink(loc2, branch="st")
+    sink2(_turns(spark, "c_dup", 0, 3), 0)
+    write_iceberg(_turns(spark, "c_dup", 0, 2), loc2, mode="append")
+    r = wap_publish_stream(spark, loc2, "st", rebase_on_diverged=True)
+    assert not r["published"] and not r["rebased"]
+    assert not r["checks"]["key_collision_with_main"]["ok"]
+
+
 def test_branch_upsert_refused_and_empty_branch_noop(spark, tmp_path):
     with pytest.raises(ValueError, match="append"):
         iceberg_sink("/x", mode="upsert", key="k", branch="st")
