@@ -863,6 +863,7 @@ def maintain_iceberg(
     target_file_bytes: int = 128 * 1024 * 1024,
     keep_snapshots: int = 3,
     sort_by: list[str] | None = None,
+    expire_older_than_ms: int | None = None,
 ) -> dict:
     """The nightly maintenance window as one call, in dependency order:
     partition-scoped compaction (binpack small-file partitions, folding
@@ -879,7 +880,9 @@ def maintain_iceberg(
     )
     t = IcebergLocalTable(location)
     mstats = t.rewrite_manifests()
-    expired = t.expire_snapshots(keep_last=keep_snapshots)
+    expired = t.expire_snapshots(
+        keep_last=keep_snapshots, older_than_ms=expire_older_than_ms
+    )
     orphans = t.remove_orphan_files()
     return {
         **stats,

@@ -2011,9 +2011,17 @@ class IcebergLocalTable:
             "partitions": summaries,
         }
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots; delete data
-        files referenced ONLY by expired snapshots. Returns deleted paths.
+        files referenced ONLY by expired snapshots. Returns deleted
+        paths. ``older_than_ms`` adds upstream Iceberg's age contract:
+        only snapshots committed BEFORE that timestamp are eligible, so
+        a retention policy like "keep 3 days of time travel" is
+        ``older_than_ms=now-3d`` regardless of commit rate — and a
+        snapshot newer than the horizon survives even beyond
+        ``keep_last``.
         """
         md = self.metadata()
         snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
@@ -2024,7 +2032,10 @@ class IcebergLocalTable:
         # the refs map dangling
         pinned = {r["snapshot-id"] for r in (md.get("refs") or {}).values()}
         keep = snaps[-keep_last:] + [
-            s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
+            s for s in snaps[:-keep_last]
+            if s["snapshot-id"] in pinned
+            or (older_than_ms is not None
+                and s["timestamp-ms"] >= older_than_ms)
         ]
         keep_set = {s["snapshot-id"] for s in keep}
         drop = [s for s in snaps if s["snapshot-id"] not in keep_set]

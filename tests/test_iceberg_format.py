@@ -290,6 +290,41 @@ def test_expire_snapshots(spark, tmp_path):
         t.scan(snapshot_id=s1)
 
 
+def test_expire_snapshots_by_age(spark, tmp_path):
+    """older_than_ms: snapshots newer than the horizon survive even
+    beyond keep_last — the 'keep N days of time travel' retention
+    contract — while older unpinned snapshots expire."""
+    loc = str(tmp_path / "exp_age")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 2 as v")
+
+    write_iceberg(mk(0, 5), loc, mode="append")
+    write_iceberg(mk(5, 10), loc, mode="append")
+    write_iceberg(mk(10, 15), loc, mode="append")
+    write_iceberg(mk(15, 20), loc, mode="append")
+    t = IcebergLocalTable(loc)
+    snaps = sorted(t.snapshots(), key=lambda s: s["sequence-number"])
+    horizon = snaps[2]["timestamp-ms"]  # commits 1-2 are strictly older
+
+    t.expire_snapshots(keep_last=1, older_than_ms=horizon)
+    t = IcebergLocalTable(loc)
+    left = {s["snapshot-id"] for s in t.snapshots()}
+    # snapshot 3 survived beyond keep_last=1 because it's newer than
+    # the horizon; snapshots 1-2 expired
+    assert left == {snaps[2]["snapshot-id"], snaps[3]["snapshot-id"]}
+    assert read_iceberg(spark, loc).count() == 20
+    # time travel within the retained window still works
+    assert read_iceberg(
+        spark, loc, snapshot_id=snaps[2]["snapshot-id"]
+    ).count() == 15
+    # no age horizon (default) keeps only keep_last + pins, as before
+    t.expire_snapshots(keep_last=1)
+    assert [s["snapshot-id"] for s in IcebergLocalTable(loc).snapshots()] \
+        == [snaps[3]["snapshot-id"]]
+    assert read_iceberg(spark, loc).count() == 20
+
+
 def test_bound_truncation():
     from ner_spark.iceberg.table import truncate_lower, truncate_upper
 
