@@ -449,6 +449,13 @@ MANIFEST_FILE_SCHEMA = {
 
 # --------------------------------------------------------------- data files
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the metadata version this commit
+    computed against — the loser of an optimistic-concurrency race. The
+    losing commit changed nothing (its staged files are orphan-cleanup
+    fodder); re-read the table and re-apply."""
+
+
 @dataclass
 class DataFile:
     """One immutable parquet file + the stats Iceberg tracks for it.
@@ -562,14 +569,33 @@ class IcebergLocalTable:
         return list(self.metadata().get("snapshots", []))
 
     def _write_metadata(self, md: dict, version: int) -> None:
+        """Swap in metadata version N — the commit point (HadoopTables
+        protocol). The versioned file is created with a FAIL-IF-EXISTS
+        link, so two writers racing from the same base version cannot
+        both win: the loser gets :class:`CommitConflictError` instead of
+        silently overwriting the winner's commit (its staged data files
+        remain on disk for ``remove_orphan_files``). This is optimistic
+        concurrency's detection half; retry-with-rebase is the caller's
+        choice, and the engine's documented contract is a single writer
+        per table. (A real HDFS/S3 deployment swaps through a catalog's
+        atomic compare-and-set instead — same semantics, different
+        primitive.)"""
         os.makedirs(self.meta_dir, exist_ok=True)
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{uuid.uuid4()}"
         with open(tmp, "w") as f:
             json.dump(md, f, indent=1)
-        os.replace(tmp, path)
-        # the version hint is the commit point (HadoopTables protocol):
-        # readers resolve it last, writers replace it atomically
+        try:
+            os.link(tmp, path)  # atomic create-exclusive on POSIX
+        except FileExistsError:
+            raise CommitConflictError(
+                f"metadata version {version} was committed by a "
+                "concurrent writer; re-read the table and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # the hint moves only after a WON commit; under the documented
+        # single-writer contract it always names the newest version
         hint_tmp = self._hint_path() + ".tmp"
         with open(hint_tmp, "w") as f:
             f.write(str(version))

@@ -381,6 +381,70 @@ def iceberg_changelog(spark, sf):
 
 
 @register(
+    "iceberg_maintenance_invariant",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0),
+    trickle AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1),
+    st AS (SELECT * FROM base UNION ALL SELECT * FROM trickle),
+    final AS (SELECT * FROM st WHERE NOT (o_totalprice < 30000.0))
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM(CAST(o_orderkey AS DECIMAL(18,0))) AS BIGINT)
+             AS sum_key
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def iceberg_maintenance_invariant(spark, sf):
+    """The full maintenance window is logically invisible: after a base
+    write, three trickle appends (one manifest + small files each), and
+    a MOR position DELETE, ``maintain_iceberg`` runs data compaction
+    (folding the delete), manifest rewrite, snapshot expiry, and orphan
+    cleanup — and the table read back through the rewritten metadata
+    must still equal the plain relational reconstruction. Any
+    maintenance bug class lands here as a value mismatch: a compaction
+    that loses or resurrects MOR-deleted rows, a manifest merge that
+    drops/duplicates an entry or breaks sequence scoping, an expiry
+    that deletes a still-referenced file.
+
+    Scale shape: each maintenance verb is O(day's churn) — small-file
+    partitions rewritten, manifests merged, expired files unlinked —
+    never O(table); the invariant checked here is what makes running it
+    nightly on a 100 TB table safe.
+    """
+    from ner_spark.iceberg.spark_io import (
+        delete_iceberg_where,
+        maintain_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    loc = tempfile.mkdtemp(prefix="iceberg_q_") + "/orders_maint"
+    write_iceberg(o.where(key % 4 == 0), loc,
+                  partition_by=["o_orderstatus"], run_id="base")
+    for r in range(3):  # trickle: one commit (and one manifest) each
+        write_iceberg(
+            o.where((key % 4 == 1) & (key % 3 == r)), loc, mode="append",
+        )
+    delete_iceberg_where(spark, loc, [("o_totalprice", "<", 30000.0)])
+    maintain_iceberg(spark, loc, keep_snapshots=1)
+    return read_iceberg(spark, loc).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        _dsum("o_totalprice", "sum_price"),
+        F.sum(F.col("o_orderkey").cast("decimal(18,0)"))
+        .cast("bigint").alias("sum_key"),
+    )
+
+
+@register(
     "iceberg_pruned_scan",
     """
     SELECT l_linestatus, COUNT(*) AS n_rows,

@@ -290,6 +290,31 @@ def test_expire_snapshots(spark, tmp_path):
         t.scan(snapshot_id=s1)
 
 
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Two writers racing from the same base version: the loser must
+    fail loudly (CommitConflictError), never silently overwrite the
+    winner's metadata — the HadoopTables fail-if-exists swap."""
+    from ner_spark.iceberg.table import CommitConflictError
+
+    loc = str(tmp_path / "cc")
+    write_iceberg(
+        spark.range(0, 5).selectExpr("id", "id * 2 as v"), loc
+    )
+    t_stale = IcebergLocalTable(loc)
+    stale_md = t_stale.metadata()
+    stale_v = t_stale.current_version()
+    # a second writer wins the race with a normal commit
+    write_iceberg(
+        spark.range(5, 8).selectExpr("id", "id * 2 as v"), loc,
+        mode="append",
+    )
+    with pytest.raises(CommitConflictError, match="concurrent"):
+        t_stale._write_metadata(stale_md, stale_v + 1)
+    # the winner's commit is intact and the table still reads cleanly
+    assert read_iceberg(spark, loc).count() == 8
+    assert IcebergLocalTable(loc).current_version() == stale_v + 1
+
+
 def test_expire_snapshots_by_age(spark, tmp_path):
     """older_than_ms: snapshots newer than the horizon survive even
     beyond keep_last — the 'keep N days of time travel' retention
