@@ -1470,12 +1470,53 @@ class IcebergLocalTable:
             )
         return snap
 
+    def _lineage_between(
+        self,
+        md: dict,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None,
+    ) -> list[dict]:
+        """Snapshots on the ANCESTRY chain (from, to], oldest-first —
+        the lineage-safe range every incremental consumer must walk. A
+        plain sequence-number range would leak snapshots staged on a
+        concurrent branch (their sequence numbers interleave with
+        main's), handing a changelog or CDC-repair reader rows the
+        target lineage never gained. ``from_snapshot_id=None`` walks to
+        table creation; a ``from`` that is not an ancestor of ``to``
+        raises."""
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        if to_snapshot_id is None:
+            to_snapshot_id = md.get("current-snapshot-id")
+        if to_snapshot_id in (None, -1):
+            if from_snapshot_id is None:
+                return []
+            raise ValueError(f"to snapshot {to_snapshot_id} not found")
+        if to_snapshot_id not in snaps:
+            raise ValueError(f"to snapshot {to_snapshot_id} not found")
+        if from_snapshot_id is not None and from_snapshot_id not in snaps:
+            raise ValueError(f"from snapshot {from_snapshot_id} not found")
+        out: list[dict] = []
+        cur = to_snapshot_id
+        while cur is not None and cur in snaps:
+            if cur == from_snapshot_id:
+                return out[::-1]
+            out.append(snaps[cur])
+            cur = snaps[cur].get("parent-snapshot-id")
+        if from_snapshot_id is None:
+            return out[::-1]
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id}; cannot express the range as a delta"
+        )
+
     def scan_incremental(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> list[DataFile]:
         """Data files ADDED after ``from_snapshot_id`` (exclusive) up to
         ``to_snapshot_id`` (inclusive; default current) — the incremental
         append-scan a CDC consumer runs instead of re-reading the table.
+        The range is the ancestry chain, so snapshots staged on
+        concurrent branches can never leak in.
 
         Only defined over append/replace history (like Iceberg's
         incremental read): an overwrite in the range changes rows the
@@ -1483,21 +1524,7 @@ class IcebergLocalTable:
         snapshots are skipped — their files carry no NEW logical rows.
         """
         md = self.metadata()
-        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-        if from_snapshot_id not in snaps:
-            raise ValueError(f"from snapshot {from_snapshot_id} not found")
-        if to_snapshot_id is None:
-            to_snapshot_id = md["current-snapshot-id"]
-        if to_snapshot_id not in snaps:
-            raise ValueError(f"to snapshot {to_snapshot_id} not found")
-        lo = snaps[from_snapshot_id]["sequence-number"]
-        hi = snaps[to_snapshot_id]["sequence-number"]
-        if hi < lo:
-            raise ValueError("to snapshot precedes from snapshot")
-        in_range = sorted(
-            (s for s in snaps.values() if lo < s["sequence-number"] <= hi),
-            key=lambda s: s["sequence-number"],
-        )
+        in_range = self._lineage_between(md, from_snapshot_id, to_snapshot_id)
         for s in in_range:
             if s["summary"]["operation"] in ("overwrite", "delete"):
                 raise ValueError(
@@ -1569,26 +1596,16 @@ class IcebergLocalTable:
     def operations_between(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> set[str]:
-        """Snapshot operations in (from, to] from table metadata alone —
-        no manifest IO. The cheap pre-check that routes a consumer to
-        ``scan_incremental`` (append-only range) vs ``snapshot_changes``
-        (row deltas present) without paying either walk."""
+        """Snapshot operations in the ancestry range (from, to] from
+        table metadata alone — no manifest IO. The cheap pre-check that
+        routes a consumer to ``scan_incremental`` (append-only range) vs
+        ``snapshot_changes`` (row deltas present) without paying either
+        walk."""
         md = self.metadata()
-        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-        if from_snapshot_id not in snaps:
-            raise ValueError(f"from snapshot {from_snapshot_id} not found")
-        if to_snapshot_id is None:
-            to_snapshot_id = md["current-snapshot-id"]
-        if to_snapshot_id not in snaps:
-            raise ValueError(f"to snapshot {to_snapshot_id} not found")
-        lo = snaps[from_snapshot_id]["sequence-number"]
-        hi = snaps[to_snapshot_id]["sequence-number"]
-        if hi < lo:
-            raise ValueError("to snapshot precedes from snapshot")
         return {
             s["summary"]["operation"]
-            for s in snaps.values()
-            if lo < s["sequence-number"] <= hi
+            for s in self._lineage_between(md, from_snapshot_id,
+                                           to_snapshot_id)
         }
 
     def snapshot_changes(
@@ -1609,30 +1626,14 @@ class IcebergLocalTable:
         ``allow_overwrite=True`` it is instead expressed as a file diff
         against the parent (``removed_data_files`` = live-at-parent minus
         live-here, by path) for changelog consumers that can turn removed
-        files back into deleted rows.
+        files back into deleted rows. The range is the ancestry chain of
+        ``to`` — snapshots staged on concurrent branches (whose sequence
+        numbers interleave) can never leak into the change sets.
         """
         md = self.metadata()
-        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-        if from_snapshot_id is None:
-            lo = 0  # sequence numbers start at 1: include everything
-        else:
-            if from_snapshot_id not in snaps:
-                raise ValueError(
-                    f"from snapshot {from_snapshot_id} not found"
-                )
-            lo = snaps[from_snapshot_id]["sequence-number"]
-        if to_snapshot_id is None:
-            to_snapshot_id = md["current-snapshot-id"]
-        if to_snapshot_id not in snaps:
-            raise ValueError(f"to snapshot {to_snapshot_id} not found")
-        hi = snaps[to_snapshot_id]["sequence-number"]
-        if hi < lo:
-            raise ValueError("to snapshot precedes from snapshot")
         out: list[dict] = []
-        for s in sorted(
-            (s for s in snaps.values() if lo < s["sequence-number"] <= hi),
-            key=lambda s: s["sequence-number"],
-        ):
+        for s in self._lineage_between(md, from_snapshot_id,
+                                       to_snapshot_id):
             op = s["summary"]["operation"]
             if op == "replace":
                 continue

@@ -149,6 +149,41 @@ def test_compaction_emits_nothing_and_replay_crosses_it(spark, tmp_path):
     )
 
 
+def test_branch_commits_never_leak_into_lineage_reads(spark, tmp_path):
+    """A commit staged on a branch gets an interleaved sequence number;
+    incremental, changelog, and CDC key-recovery reads of MAIN must
+    walk the ancestry chain and exclude it."""
+    from ner_spark.iceberg.spark_io import (
+        changed_keys_iceberg,
+        read_iceberg_incremental,
+        write_iceberg,
+    )
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    loc = str(tmp_path / "t")
+    s1 = write_iceberg(_orders(spark, 0, 10), loc, mode="append")
+    # staged on a branch BETWEEN two main commits: its sequence number
+    # interleaves with main's
+    write_iceberg(_orders(spark, 100, 105), loc, mode="append", branch="st")
+    write_iceberg(_orders(spark, 10, 20), loc, mode="append")
+
+    inc = read_iceberg_incremental(spark, loc, s1)
+    assert _rows(inc, COLS) == _rows(_orders(spark, 10, 20), COLS)
+    log = read_iceberg_changelog(spark, loc, from_snapshot_id=s1)
+    assert _rows(log, COLS) == _rows(_orders(spark, 10, 20), COLS)
+    assert log.where("_change_type = 'delete'").count() == 0
+    keys = {r["k"] for r in changed_keys_iceberg(spark, loc, s1, "k")
+            .collect()}
+    assert keys == set(range(10, 20))
+    t = IcebergLocalTable(loc)
+    assert t.operations_between(s1) == {"append"}
+    # a from-snapshot on a different lineage refuses instead of
+    # guessing a sequence window
+    st_head = t.refs()["st"]["snapshot-id"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_changelog(spark, loc, from_snapshot_id=st_head)
+
+
 def test_changelog_range_validation(spark, tmp_path):
     loc = str(tmp_path / "t")
     s1 = write_iceberg(_orders(spark, 0, 5), loc, mode="append")
