@@ -285,6 +285,44 @@ def _scan_files(
     return reduce(DataFrame.unionByName, parts)
 
 
+def _pos_delete_frame(spark: SparkSession, pos: list[DataFile]) -> DataFrame:
+    """(file_path, pos) pairs from position-delete files, aliased to the
+    ``__fp``/``__pos`` names the scan's ``_metadata`` projection uses."""
+    return spark.read.parquet(*[d.path for d in pos]).select(
+        _strip_scheme(F.col("file_path")).alias("__fp"),
+        F.col("pos").alias("__pos"),
+    )
+
+
+def _eq_delete_groups(spark: SparkSession, eqs: list[DataFile], struct: dict):
+    """Per equality-id group: (key column names, delete frame with
+    ``__d_``-prefixed keys + ``__dseq``). One definition of how equality
+    delete files turn into joinable frames — the MOR read (anti) and the
+    changelog (semi) must agree on it exactly."""
+    id2name = {f["id"]: f["name"] for f in struct["fields"]}
+    groups: dict[tuple, list[DataFile]] = {}
+    for d in eqs:
+        groups.setdefault(tuple(d.equality_ids or ()), []).append(d)
+    for ids, group in groups.items():
+        names = [id2name[i] for i in ids]
+        parts = [
+            spark.read.parquet(d.path)
+            .select(*[F.col(c).alias(f"__d_{c}") for c in names])
+            .withColumn("__dseq", F.lit(d.sequence_number))
+            for d in group
+        ]
+        yield names, reduce(DataFrame.unionByName, parts)
+
+
+def _eq_delete_cond(names: list[str]):
+    """The strict-sequence null-safe match: data row seq strictly below
+    the delete's commit sequence, keys equal with null == null (spec)."""
+    cond = F.col("seq") < F.col("__dseq")
+    for c in names:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+    return cond
+
+
 def _apply_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -314,32 +352,12 @@ def _apply_deletes(
     pos = [d for d in dels if d.content == 1]
     eqs = [d for d in dels if d.content == 2]
     if pos:
-        pdel = spark.read.parquet(*[d.path for d in pos]).select(
-            _strip_scheme(F.col("file_path")).alias("__fp"),
-            F.col("pos").alias("__pos"),
-        )
         df = df.join(
-            F.broadcast(pdel), ["__fp", "__pos"], "left_anti"
+            F.broadcast(_pos_delete_frame(spark, pos)),
+            ["__fp", "__pos"], "left_anti",
         ).drop("__fp", "__pos")
-    if eqs:
-        id2name = {f["id"]: f["name"] for f in struct["fields"]}
-        groups: dict[tuple, list[DataFile]] = {}
-        for d in eqs:
-            groups.setdefault(tuple(d.equality_ids or ()), []).append(d)
-        for ids, group in groups.items():
-            names = [id2name[i] for i in ids]
-            parts = [
-                spark.read.parquet(d.path)
-                .select(*[F.col(c).alias(f"__d_{c}") for c in names])
-                .withColumn("__dseq", F.lit(d.sequence_number))
-                for d in group
-            ]
-            deld = reduce(DataFrame.unionByName, parts)
-            cond = F.col("seq") < F.col("__dseq")
-            for c in names:
-                # spec: null matches null in equality deletes
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
-            df = df.join(F.broadcast(deld), cond, "left_anti")
+    for names, deld in _eq_delete_groups(spark, eqs, struct):
+        df = df.join(F.broadcast(deld), _eq_delete_cond(names), "left_anti")
     return df
 
 
@@ -418,19 +436,18 @@ def _live_rows_with_seq(
     location: str,
     t: IcebergLocalTable,
     snapshot_id: int,
-    restrict_paths: list[str] | None = None,
+    files: list[DataFile] | None = None,
 ) -> DataFrame:
     """Live rows as of ``snapshot_id`` with the commit-sequence column
-    retained (MOR deltas applied), optionally restricted to a file
-    subset — the parent-state read the changelog needs to turn delete
-    files / removed files back into deleted ROWS."""
+    retained (MOR deltas applied), optionally over a caller-supplied
+    file subset (skips one manifest walk) — the parent-state read the
+    changelog needs to turn delete files / removed files back into
+    deleted ROWS."""
     md = t.metadata()
     ddl = t.spark_ddl()
     cols = [f["name"] for f in t._schema_struct(md)["fields"]]
-    files = t.scan(snapshot_id=snapshot_id)
-    if restrict_paths is not None:
-        keep = set(restrict_paths)
-        files = [f for f in files if f.path in keep]
+    if files is None:
+        files = t.scan(snapshot_id=snapshot_id)
     if not files:
         return spark.createDataFrame([], ddl + ", seq bigint")
     dels = t.scan_deletes(snapshot_id=snapshot_id)
@@ -531,10 +548,7 @@ def read_iceberg_changelog(
         pos = [d for d in ch["delete_files"] if d.content == 1]
         eqs = [d for d in ch["delete_files"] if d.content == 2]
         if pos:
-            pdel = spark.read.parquet(*[d.path for d in pos]).select(
-                _strip_scheme(F.col("file_path")).alias("__fp"),
-                F.col("pos").alias("__pos"),
-            )
+            pdel = _pos_delete_frame(spark, pos)
             named = sorted(
                 {r["__fp"] for r in pdel.select("__fp").distinct().collect()}
             )
@@ -549,30 +563,19 @@ def read_iceberg_changelog(
             prior = _live_rows_with_seq(
                 spark, location, t, snap["parent-snapshot-id"]
             )
-            id2name = {f["id"]: f["name"] for f in struct["fields"]}
-            groups: dict[tuple, list[DataFile]] = {}
-            for d in eqs:
-                groups.setdefault(tuple(d.equality_ids or ()), []).append(d)
-            for ids, group in groups.items():
-                names = [id2name[i] for i in ids]
-                dl = [
-                    spark.read.parquet(d.path)
-                    .select(*[F.col(c).alias(f"__d_{c}") for c in names])
-                    .withColumn("__dseq", F.lit(d.sequence_number))
-                    for d in group
-                ]
-                deld = reduce(DataFrame.unionByName, dl)
-                cond = F.col("seq") < F.col("__dseq")
-                for c in names:
-                    cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            # the same frames and strict-sequence condition as the MOR
+            # read's subtraction — semi instead of anti selects the rows
+            # the delete REMOVED
+            for names, deld in _eq_delete_groups(spark, eqs, struct):
                 dparts.append(
-                    prior.join(F.broadcast(deld), cond, "left_semi")
-                    .select(*cols)
+                    prior.join(
+                        F.broadcast(deld), _eq_delete_cond(names), "left_semi"
+                    ).select(*cols)
                 )
         if ch["removed_data_files"]:
             prior = _live_rows_with_seq(
                 spark, location, t, snap["parent-snapshot-id"],
-                restrict_paths=[f.path for f in ch["removed_data_files"]],
+                files=ch["removed_data_files"],
             )
             dparts.append(prior.select(*cols))
         dels_df = reduce(DataFrame.unionByName, dparts) if dparts else None
@@ -671,25 +674,17 @@ def iceberg_sink(
         )
 
     def _last_batch_id(t: IcebergLocalTable) -> int | None:
-        """Newest committed streaming-batch-id visible to this stream:
-        the max over the staging branch's chain AND main's chain. Main
-        must be consulted too — after a WAP publish the branch ref is
-        dropped, and a batch replayed across that boundary would
-        otherwise re-commit onto a fresh branch fork (duplicate rows on
-        the next publish)."""
-        by_id = {s["snapshot-id"]: s for s in t.snapshots()}
-        refs = t.refs()
-        best = None
-        for ref in {branch, "main"}:
-            r = refs.get(ref)
-            cur = r["snapshot-id"] if r is not None else None
-            while cur is not None and cur in by_id:
-                b = by_id[cur]["summary"].get("streaming-batch-id")
-                if b is not None:
-                    best = max(best if best is not None else -1, int(b))
-                    break  # newest stamped snapshot on this chain wins
-                cur = by_id[cur].get("parent-snapshot-id")
-        return best
+        """Newest committed streaming-batch-id: the max stamp over ALL
+        retained snapshots. Not an ancestry walk — a WAP publish drops
+        the branch ref (the stamp then lives mid-chain on main), and
+        snapshot expiry can remove intermediate links while the pinned
+        stamped snapshot itself survives; under the one-stream-per-table
+        contract every stamp in the metadata belongs to this stream, so
+        the global max is exactly its high-water mark."""
+        ids = [int(s["summary"]["streaming-batch-id"])
+               for s in t.snapshots()
+               if "streaming-batch-id" in s["summary"]]
+        return max(ids) if ids else None
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)

@@ -551,7 +551,17 @@ class IcebergLocalTable:
 
     def current_version(self) -> int:
         with open(self._hint_path()) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        # the hint may trail a crash between the version-file link (the
+        # durable commit point) and the hint update; roll forward to the
+        # newest committed version so the table never wedges on a
+        # CommitConflictError loop. The next successful commit rewrites
+        # the hint and self-heals.
+        while os.path.exists(
+            os.path.join(self.meta_dir, f"v{v + 1}.metadata.json")
+        ):
+            v += 1
+        return v
 
     def metadata(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -916,34 +926,9 @@ class IcebergLocalTable:
                 "content": "deletes" if content else "data",
             },
         )
-        # manifest-level partition summaries (field 507), in spec-field order
-        summaries = None
-        if spec_fields:
-            summaries = []
-            for pf in spec_fields:
-                rt = partition_result_type(pf, struct)
-                vals = [f.partition.get(pf["name"]) for f in files]
-                non_null = [v for v in vals if v is not None]
-                lo = (
-                    encode_single(rt, truncate_lower(rt, min(non_null)))
-                    if non_null
-                    else None
-                )
-                hi_v = (
-                    truncate_upper(rt, max(non_null)) if non_null else None
-                )
-                summaries.append(
-                    {
-                        "contains_null": any(v is None for v in vals),
-                        "contains_nan": None,
-                        "lower_bound": lo,
-                        "upper_bound": (
-                            encode_single(rt, hi_v)
-                            if hi_v is not None
-                            else None
-                        ),
-                    }
-                )
+        summaries = self._partition_summaries(
+            spec_fields, struct, [f.partition for f in files]
+        )
         return {
             "manifest_path": mpath,
             "manifest_length": length,
@@ -960,6 +945,40 @@ class IcebergLocalTable:
             "deleted_rows_count": 0,
             "partitions": summaries,
         }
+
+    def _partition_summaries(
+        self,
+        spec_fields: list[dict],
+        struct: dict,
+        partitions: list[dict],
+    ) -> list[dict] | None:
+        """Manifest-level partition summaries (field 507), in spec-field
+        order, over the files' partition records — the one formula both
+        fresh manifests and merged manifests must share, or pruning
+        behaves differently on the two."""
+        if not spec_fields:
+            return None
+        summaries = []
+        for pf in spec_fields:
+            rt = partition_result_type(pf, struct)
+            vals = [p.get(pf["name"]) for p in partitions]
+            non_null = [v for v in vals if v is not None]
+            lo = (
+                encode_single(rt, truncate_lower(rt, min(non_null)))
+                if non_null else None
+            )
+            hi_v = truncate_upper(rt, max(non_null)) if non_null else None
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": lo,
+                    "upper_bound": (
+                        encode_single(rt, hi_v) if hi_v is not None else None
+                    ),
+                }
+            )
+        return summaries
 
     def _rewrite_manifest_without(
         self, m: dict, drop_paths: set[str], snapshot_id: int, seq: int
@@ -1503,7 +1522,15 @@ class IcebergLocalTable:
             out.append(snaps[cur])
             cur = snaps[cur].get("parent-snapshot-id")
         if from_snapshot_id is None:
-            return out[::-1]
+            if cur is None:
+                return out[::-1]  # reached table creation
+            # the chain broke at an EXPIRED ancestor: a silent partial
+            # "since creation" delta would violate the replay contract
+            raise ValueError(
+                f"history before snapshot {cur} has been expired; a "
+                "since-creation delta is no longer expressible — start "
+                "from a retained snapshot"
+            )
         raise ValueError(
             f"snapshot {from_snapshot_id} is not an ancestor of "
             f"{to_snapshot_id}; cannot express the range as a delta"
@@ -1800,18 +1827,37 @@ class IcebergLocalTable:
             raise ValueError(f"snapshot {snapshot_id} added no manifests")
 
         def _build(new_id: int, new_seq: int) -> list[dict]:
-            refs = self.metadata().get("refs") or {}
+            md2 = self.metadata()
+            refs = md2.get("refs") or {}
             head = (refs.get(branch) or {}).get("snapshot-id")
             carried: list[dict] = []
             if head is not None:
                 cur = next(
-                    s for s in self.metadata()["snapshots"]
+                    s for s in md2["snapshots"]
                     if s["snapshot-id"] == head
                 )
                 _, _, carried = avro_io.read_container(cur["manifest-list"])
-            return added + carried
+            # the picked manifests are ADDED BY THIS COMMIT: every
+            # added-file detector (scan_incremental, scan_snapshot_adds,
+            # snapshot_changes) matches the manifest-level sequence
+            # number against the committing snapshot's, so the records
+            # must be re-stamped with the new ids — entry-level sequence
+            # numbers inside the Avro files stay original (matching the
+            # hive seq dirs and MOR scoping), same convention as
+            # _rewrite_manifest_without
+            picked = [
+                {**m, "sequence_number": new_seq, "added_snapshot_id": new_id}
+                for m in added
+            ]
+            return picked + carried
 
-        summ = {"cherry-picked-from": snapshot_id}
+        # the default summary would say added-records=0 (files=[]); the
+        # picked manifests know the real counts
+        summ = {
+            "cherry-picked-from": snapshot_id,
+            "added-data-files": sum(m["added_files_count"] for m in added),
+            "added-records": sum(m["added_rows_count"] for m in added),
+        }
         bid = snap["summary"].get("streaming-batch-id")
         if bid is not None:
             summ["streaming-batch-id"] = bid
@@ -2000,27 +2046,10 @@ class IcebergLocalTable:
                 "content": "deletes" if content else "data",
             },
         )
-        summaries = None
-        if spec_fields:
-            summaries = []
-            parts = [e["data_file"].get("partition") or {} for e in entries]
-            for pf in spec_fields:
-                rt = partition_result_type(pf, struct)
-                vals = [p.get(pf["name"]) for p in parts]
-                non_null = [v for v in vals if v is not None]
-                lo = (
-                    encode_single(rt, truncate_lower(rt, min(non_null)))
-                    if non_null else None
-                )
-                hi_v = truncate_upper(rt, max(non_null)) if non_null else None
-                summaries.append({
-                    "contains_null": any(v is None for v in vals),
-                    "contains_nan": None,
-                    "lower_bound": lo,
-                    "upper_bound": (
-                        encode_single(rt, hi_v) if hi_v is not None else None
-                    ),
-                })
+        summaries = self._partition_summaries(
+            spec_fields, struct,
+            [e["data_file"].get("partition") or {} for e in entries],
+        )
         return {
             "manifest_path": mpath,
             "manifest_length": length,
@@ -2058,6 +2087,14 @@ class IcebergLocalTable:
         # snapshot unexpirable, and dropping a live branch head would leave
         # the refs map dangling
         pinned = {r["snapshot-id"] for r in (md.get("refs") or {}).values()}
+        # the newest streaming-batch-id stamp is the sink's exactly-once
+        # replay guard; expiring it would let a checkpoint replay after a
+        # maintenance window re-commit an already-published batch
+        stamped = [s for s in snaps
+                   if "streaming-batch-id" in s["summary"]]
+        if stamped:
+            pinned.add(max(stamped, key=lambda s: s["sequence-number"])
+                       ["snapshot-id"])
         keep = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last]
             if s["snapshot-id"] in pinned

@@ -315,6 +315,57 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert IcebergLocalTable(loc).current_version() == stale_v + 1
 
 
+def test_version_hint_crash_recovery(spark, tmp_path):
+    """A crash between the version-file link (the commit point) and the
+    hint update must not wedge the table: current_version rolls forward
+    to the newest committed version and the next commit self-heals."""
+    loc = str(tmp_path / "hint")
+    write_iceberg(spark.range(0, 5).selectExpr("id", "id as v"), loc)
+    write_iceberg(
+        spark.range(5, 8).selectExpr("id", "id as v"), loc, mode="append"
+    )
+    t = IcebergLocalTable(loc)
+    v = t.current_version()
+    # simulate the crash: regress the hint below the committed version
+    with open(t._hint_path(), "w") as f:
+        f.write(str(v - 1))
+    t2 = IcebergLocalTable(loc)
+    assert t2.current_version() == v  # rolled forward past the stale hint
+    assert read_iceberg(spark, loc).count() == 8
+    # a new commit succeeds (no CommitConflictError livelock) and heals
+    write_iceberg(
+        spark.range(8, 9).selectExpr("id", "id as v"), loc, mode="append"
+    )
+    with open(IcebergLocalTable(loc)._hint_path()) as f:
+        assert int(f.read().strip()) == v + 1
+    assert read_iceberg(spark, loc).count() == 9
+
+
+def test_expired_history_refuses_since_creation_delta(spark, tmp_path):
+    """After expiry breaks the parent chain, a since-creation changelog
+    must refuse rather than silently return a partial delta."""
+    from ner_spark.iceberg.spark_io import read_iceberg_changelog
+
+    loc = str(tmp_path / "exp_lineage")
+    write_iceberg(spark.range(0, 5).selectExpr("id", "id as v"), loc,
+                  mode="append")
+    write_iceberg(spark.range(5, 9).selectExpr("id", "id as v"), loc,
+                  mode="append")
+    write_iceberg(spark.range(9, 12).selectExpr("id", "id as v"), loc,
+                  mode="append")
+    t = IcebergLocalTable(loc)
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        read_iceberg_changelog(spark, loc)
+    # a retained from-snapshot still works
+    t = IcebergLocalTable(loc)
+    oldest = min(t.snapshots(), key=lambda s: s["sequence-number"])
+    log = read_iceberg_changelog(
+        spark, loc, from_snapshot_id=oldest["snapshot-id"]
+    )
+    assert log.count() == 3
+
+
 def test_expire_snapshots_by_age(spark, tmp_path):
     """older_than_ms: snapshots newer than the horizon survive even
     beyond keep_last — the 'keep N days of time travel' retention

@@ -156,7 +156,8 @@ def test_rebase_publish_after_main_advances(spark, tmp_path):
     sink = iceberg_sink(loc, branch="st")
     sink(_turns(spark, "c_a", 0, 3), 0)
     # main advances while the stream stages → diverged
-    write_iceberg(_turns(spark, "c_main2", 0, 2), loc, mode="append")
+    write_iceberg(_turns(spark, "c_main2", 0, 2), loc, mode="append",
+                  run_id="main2")
     sink(_turns(spark, "c_b", 0, 2), 1)
 
     r = wap_publish_stream(spark, loc, "st", rebase_on_diverged=True)
@@ -176,8 +177,53 @@ def test_rebase_publish_after_main_advances(spark, tmp_path):
               if "cherry-picked-from" in s["summary"]]
     assert len(picked) == 2
     assert picked[-1]["summary"]["streaming-batch-id"] == "1"
+    # the summary reports the real row counts, not the empty files=[]
+    assert picked[0]["summary"]["added-records"] == "3"
     sink(_turns(spark, "c_b", 0, 2), 1)  # replay → no-op
     assert len(IcebergLocalTable(loc).snapshots()) == len(t.snapshots())
+
+    # the rebase-published rows must be VISIBLE to lineage consumers:
+    # an incremental read from the pre-publish main head returns them
+    from ner_spark.iceberg.spark_io import (
+        read_iceberg_changelog,
+        read_iceberg_incremental,
+    )
+
+    pre_publish_head = next(
+        s["snapshot-id"] for s in t.snapshots()
+        if s["summary"].get("run_id") == "main2"
+    )
+    staged = _turns(spark, "c_a", 0, 3).unionByName(
+        _turns(spark, "c_b", 0, 2)
+    )
+    inc = read_iceberg_incremental(spark, loc, pre_publish_head)
+    assert _rows(inc) == _rows(staged)
+    log = read_iceberg_changelog(spark, loc,
+                                 from_snapshot_id=pre_publish_head)
+    assert _rows(log.drop("_change_type", "_commit_order",
+                          "_commit_snapshot_id")) == _rows(staged)
+    assert log.where("_change_type = 'delete'").count() == 0
+
+
+def test_replay_guard_survives_maintenance(spark, tmp_path):
+    """Snapshot expiry must pin the newest batch-stamped snapshot: a
+    checkpoint replay after a maintenance window would otherwise find
+    no stamp and re-commit an already-published batch."""
+    loc = str(tmp_path / "tx")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    assert wap_publish_stream(spark, loc, "st")["published"]
+    # main gains ordinary commits; maintenance expires aggressively
+    write_iceberg(_turns(spark, "c_m1", 0, 2), loc, mode="append")
+    write_iceberg(_turns(spark, "c_m2", 0, 2), loc, mode="append")
+    t = IcebergLocalTable(loc)
+    t.expire_snapshots(keep_last=1)
+    t = IcebergLocalTable(loc)
+    assert any("streaming-batch-id" in s["summary"] for s in t.snapshots())
+    n = len(t.snapshots())
+    sink(_turns(spark, "c_a", 0, 3), 0)  # replay after maintenance
+    assert len(IcebergLocalTable(loc).snapshots()) == n  # no-op
+    assert read_iceberg(spark, loc).count() == 7
 
 
 def test_rebase_refused_on_interim_row_delta_or_collision(spark, tmp_path):
