@@ -1589,10 +1589,9 @@ class IcebergLocalTable:
 
     def scan_snapshot_adds(self, snapshot_id: int) -> list[DataFile]:
         """Data files ADDED by exactly one snapshot, from its OWN manifest
-        list (entries at its sequence number, status ADDED). Branch-safe,
-        unlike ``scan_incremental``'s main-line sequence range — an
-        abandoned staging snapshot with an intermediate sequence number
-        can never leak into the result."""
+        list (entries at its sequence number, status ADDED) — works for
+        snapshots on any branch, which is why the WAP audit reads staged
+        deltas through it."""
         md = self.metadata()
         snap = next(
             (s for s in md.get("snapshots", [])
