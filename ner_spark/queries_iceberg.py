@@ -381,6 +381,70 @@ def iceberg_changelog(spark, sf):
 
 
 @register(
+    "iceberg_stream_read",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 IN (0, 1))
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM feed GROUP BY o_orderstatus
+    """,
+)
+def iceberg_stream_read(spark, sf):
+    """The table IS the queue: a readStream over the iceberg-local
+    format drains two append snapshots (plus a compaction, which must
+    contribute nothing) through a real availableNow run into a parquet
+    sink, and the drained rows must equal the relational feed. Offsets
+    are snapshot sequence numbers on the main lineage; partitions are
+    the appended data files resolved from manifest metadata, read
+    executor-side via Arrow, with identity-partition columns reattached
+    from the manifests' typed partition records.
+
+    Scale shape: planning is O(new snapshots' manifests) per trigger and
+    reading is O(new files) — a downstream KG tick at 10^12 turns tails
+    the transcript table like a log, with WAP publishes as the commit
+    points that make staged rows visible.
+    """
+    import tempfile as _tf
+
+    from ner_spark.iceberg.spark_io import compact_iceberg, write_iceberg
+    from ner_spark.sources.iceberg_stream import IcebergStreamDataSource
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    d = _tf.mkdtemp(prefix="iceberg_q_")
+    loc = d + "/orders_feed"
+    write_iceberg(o.where(key % 5 == 0), loc, mode="append",
+                  partition_by=["o_orderstatus"])
+    write_iceberg(o.where(key % 5 == 1), loc, mode="append")
+    compact_iceberg(spark, loc)  # replace snapshot: adds no logical rows
+
+    spark.dataSource.register(IcebergStreamDataSource)
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("location", loc).load()
+        .writeStream.format("parquet").option("path", d + "/out")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    drained = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).parquet(d + "/out")
+    return drained.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
     "iceberg_maintenance_invariant",
     """
     WITH base AS (

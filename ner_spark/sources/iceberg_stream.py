@@ -1,0 +1,230 @@
+"""Spark 4 Python streaming DataSource: an iceberg-local table AS a
+stream (SURVEY.md §2.1/§2.9 — the "table is the queue" ingest shape).
+
+``spark.dataSource.register(IcebergStreamDataSource)`` then
+``spark.readStream.format("iceberg_stream").option("location", loc)
+.load()`` emits every row the table's MAIN lineage gains, exactly once
+across restarts:
+
+- offset = the last consumed snapshot SEQUENCE NUMBER (monotonic along
+  the ancestry chain — branch-staged snapshots never enter the stream;
+  they arrive when a WAP publish lands them on main, fast-forwarded or
+  cherry-picked, which is what makes sink-side gating and source-side
+  consumption compose);
+- ``partitions(start, end)`` walks the lineage once on the driver and
+  carves ONE InputPartition PER ADDED DATA FILE, resolved entirely from
+  manifest metadata (no data file opened at planning time);
+- ``read(partition)`` opens its one parquet file on the EXECUTOR with
+  pyarrow and yields Arrow record batches — identity-partition columns
+  (dropped from file contents by the hive layout) are reattached as
+  constants from the manifest's typed partition record, so no path
+  parsing and no type guessing.
+
+Snapshot semantics: ``append`` snapshots stream their added files;
+``replace`` (compaction / manifest rewrite) adds no logical rows and is
+skipped; ``delete`` (MOR row deltas) and ``overwrite`` RAISE by default
+— a row-level retraction cannot be expressed as an append stream —
+unless ``option("skip_row_deltas", "true")`` opts into append-half-only
+consumption (the merge's new rows stream, its deletes don't; upstream
+Iceberg's streaming read draws the same line).
+
+Retention contract: the consumer's lag must stay inside snapshot
+retention — if expiry breaks the parent chain between the checkpointed
+offset and the head, ``partitions()`` raises (lineage no longer
+expressible) instead of silently skipping rows. Pair the source with
+``expire_snapshots(older_than_ms=...)`` sized to the maximum expected
+downtime.
+
+Like every Python DataSource, availableNow degrades to a single
+micro-batch per run (no SupportsTriggerAvailableNow hook in the API) —
+one run drains everything outstanding in one batch, since
+``latestOffset`` advertises the current head.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+TS_COLS = ("timestamp", "timestamp_ntz")
+
+
+def _iceberg_ddl(location: str) -> str:
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    return IcebergLocalTable(location).spark_ddl()
+
+
+try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class IcebergStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "iceberg_stream"
+
+        def schema(self) -> str:
+            loc = self.options.get("location") or self.options.get("path")
+            if not loc:
+                raise ValueError("iceberg_stream requires option('location')")
+            return _iceberg_ddl(loc)
+
+        def streamReader(self, schema):
+            return _IcebergStreamReader(self.options)
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str, identity: dict, ddl: str):
+            self.path, self.identity, self.ddl = path, identity, ddl
+
+    class _IcebergStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.location = options.get("location") or options.get("path")
+            if not self.location:
+                raise ValueError("iceberg_stream requires option('location')")
+            self.skip_row_deltas = (
+                str(options.get("skip_row_deltas", "false")).lower() == "true"
+            )
+            # start_after_seq: consume only snapshots with a strictly
+            # greater sequence number (0 = from table creation)
+            self.start_seq = int(options.get("start_after_seq", "0"))
+
+        def _table(self):
+            from ner_spark.iceberg.table import IcebergLocalTable
+
+            return IcebergLocalTable(self.location)
+
+        def initialOffset(self) -> dict:
+            return {"seq": self.start_seq}
+
+        def latestOffset(self) -> dict:
+            t = self._table()
+            head = t.current_snapshot()
+            seq = head["sequence-number"] if head else self.start_seq
+            return {"seq": max(seq, self.start_seq)}
+
+        def partitions(self, start: dict, end: dict) -> list:
+            lo, hi = start["seq"], end["seq"]
+            if hi <= lo:
+                return []
+            t = self._table()
+            md = t.metadata()
+            ddl = t.spark_ddl()
+            struct = t._schema_struct(md)
+            specs = {s["spec-id"]: s["fields"]
+                     for s in md.get("partition-specs", [])}
+            by_src = {f["id"]: f["name"] for f in struct["fields"]}
+            # ancestry walk head→lo: branch snapshots can't leak in, and
+            # an expiry hole inside (lo, hi] surfaces as an error
+            chain: list[dict] = []
+            snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+            cur = (md.get("refs") or {}).get("main", {}).get("snapshot-id")
+            while cur is not None and cur in snaps:
+                s = snaps[cur]
+                if s["sequence-number"] <= lo:
+                    break
+                if s["sequence-number"] <= hi:
+                    chain.append(s)
+                cur = s.get("parent-snapshot-id")
+            else:
+                if lo > self.start_seq:
+                    raise ValueError(
+                        f"snapshots at seq <= {lo} have been expired; the "
+                        "stream's lag exceeded snapshot retention"
+                    )
+            out: list[_FilePartition] = []
+            for s in reversed(chain):  # oldest first
+                op = s["summary"]["operation"]
+                if op == "replace":
+                    continue  # no logical rows
+                if op in ("delete", "overwrite") and not self.skip_row_deltas:
+                    raise ValueError(
+                        f"stream crossed a {op!r} snapshot (seq "
+                        f"{s['sequence-number']}); row-level retractions "
+                        "cannot be expressed as an append stream — use "
+                        "read_iceberg_changelog, or opt into "
+                        "option('skip_row_deltas','true')"
+                    )
+                if op == "overwrite":
+                    continue  # skip_row_deltas: rewrites don't stream
+                for f in t.scan_snapshot_adds(s["snapshot-id"]):
+                    identity = {}
+                    sid = None
+                    # find the spec the file was written under via its
+                    # partition record keys (names are unique per spec)
+                    for spec_id, fields in specs.items():
+                        if {pf["name"] for pf in fields} == set(f.partition):
+                            sid = spec_id
+                            break
+                    for pf in (specs.get(sid) or []):
+                        if pf.get("transform", "identity") != "identity":
+                            continue  # derived cols live IN the file
+                        col = by_src.get(pf["source-id"])
+                        if col is not None:
+                            identity[col] = f.partition.get(pf["name"])
+                    out.append(_FilePartition(f.path, identity, ddl))
+            return out
+
+        def read(self, part) -> Iterator:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(part.path)
+            n = tbl.num_rows
+            cols, names = [], []
+            for field_ddl in _split_ddl(part.ddl):
+                name, typ = field_ddl.split(" ", 1)
+                names.append(name)
+                if name in tbl.column_names:
+                    col = tbl.column(name)
+                    if typ in TS_COLS and pa.types.is_timestamp(col.type):
+                        # normalize to micros (files carry micros already;
+                        # belt-and-braces for older fixtures)
+                        col = col.cast(pa.timestamp("us"))
+                    cols.append(col)
+                elif name in part.identity:
+                    v = part.identity[name]
+                    pt = _pa_type(typ)
+                    cols.append(
+                        pa.nulls(n, pt) if v is None
+                        else pa.array([v] * n, type=pt)
+                    )
+                else:  # schema evolution: column added after this file
+                    cols.append(pa.nulls(n, _pa_type(typ)))
+            yield from pa.table(cols, names=names).to_batches()
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in the checkpoint; nothing to clean up
+
+    def _split_ddl(ddl: str) -> list[str]:
+        """Split a DDL string on top-level commas only (nested
+        array/map/struct types carry their own commas)."""
+        parts, depth, cur = [], 0, []
+        for ch in ddl:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        return parts
+
+    def _pa_type(ddl_type: str):
+        import pyarrow as pa
+
+        return {
+            "string": pa.string(), "int": pa.int32(), "bigint": pa.int64(),
+            "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "date": pa.date32(),
+            "timestamp": pa.timestamp("us"),
+            "timestamp_ntz": pa.timestamp("us"),
+        }.get(ddl_type, pa.string())
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    IcebergStreamDataSource = None
