@@ -431,3 +431,48 @@ def run_cdc_merge(
     )
     _await_drained(q, target)
     return stream_df.sparkSession.read.parquet(target)
+
+
+def stream_kg_iceberg_tick(
+    spark: SparkSession,
+    transcripts_loc: str,
+    links_loc: str,
+    gazetteer_pdf: pd.DataFrame,
+    emb_pdf: pd.DataFrame,
+    checkpoint: str,
+) -> DataFrame:
+    """One Iceberg-to-Iceberg incremental KG tick: tail the transcript
+    table with the ``iceberg_stream`` source (offsets = snapshot
+    sequence numbers, so a WAP publish is exactly the moment new turns
+    become consumable), run the fused NLP+link mapInPandas stage, and
+    land the linked mentions exactly-once into an Iceberg links table
+    through ``iceberg_sink`` (batch-id replay guard on the sink side,
+    checkpointed offsets on the source side — exactly-once end to end
+    across restarts of either half).
+
+    availableNow degrades to one micro-batch per call on a Python
+    DataSource, which is the tick shape anyway: call per maintenance
+    window; each call processes every snapshot committed since the last
+    one. Returns the links table read back (MOR-aware)."""
+    from ner_spark.iceberg.spark_io import iceberg_sink, read_iceberg
+    from ner_spark.sources.iceberg_stream import IcebergStreamDataSource
+
+    spark.dataSource.register(IcebergStreamDataSource)
+    stream = (
+        spark.readStream.format("iceberg_stream")
+        .option("location", transcripts_loc)
+        .load()
+        # transcripts carry tz-naive wall-clock (timestamp_ntz); the
+        # watermark operator wants the session-zoned type — same cast
+        # the transcript_gen connector path applies
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    links = streaming_links(stream, gazetteer_pdf, emb_pdf, spark)
+    q = (
+        links.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(iceberg_sink(links_loc))
+        .start()
+    )
+    _await_drained(q, links_loc)
+    return read_iceberg(spark, links_loc)

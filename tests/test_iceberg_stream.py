@@ -132,6 +132,53 @@ def test_wap_publish_feeds_the_stream(spark, tmp_path):
     }
 
 
+def test_iceberg_to_iceberg_kg_tick_matches_batch(
+    spark, small_inputs, kg_small, tmp_path
+):
+    """The north-rule loop end to end: transcripts WAP-ingested into an
+    Iceberg table, tailed by the iceberg_stream source, pushed through
+    the fused NLP+link stage, landed exactly-once in an Iceberg links
+    table — and the final links equal the batch pipeline's, byte for
+    byte. Re-ticks are no-ops; each publish is consumed exactly once."""
+    import pandas as pd
+
+    from ner_spark.plans.wap import wap_ingest
+    from ner_spark.streaming.incremental import stream_kg_iceberg_tick
+
+    tx = small_inputs["transcripts"]
+    emb_pdf = small_inputs["entity_embeddings"].toPandas()
+    gaz = small_inputs["gazetteer_pdf"]
+    half = F.abs(F.xxhash64("conv_id")) % 2
+    tloc = str(tmp_path / "transcripts")
+    lloc = str(tmp_path / "links")
+    ckpt = str(tmp_path / "ckpt")
+
+    assert wap_ingest(spark, tx.filter(half == 0), tloc, "b1")["published"]
+    links1 = stream_kg_iceberg_tick(
+        spark, tloc, lloc, gaz, emb_pdf, ckpt
+    )
+    n1 = links1.count()
+    assert n1 > 0
+    # nothing new → the tick is a no-op on both source and sink
+    assert stream_kg_iceberg_tick(
+        spark, tloc, lloc, gaz, emb_pdf, ckpt
+    ).count() == n1
+
+    assert wap_ingest(spark, tx.filter(half == 1), tloc, "b2")["published"]
+    got = stream_kg_iceberg_tick(
+        spark, tloc, lloc, gaz, emb_pdf, ckpt
+    ).toPandas()
+    assert len(got) > n1
+
+    exp = kg_small["links"].toPandas()
+    cols = sorted(exp.columns)
+    key = ["conv_id", "turn_idx", "mention_id"] \
+        if "mention_id" in exp.columns else list(exp.columns)
+    got_s = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    exp_s = exp.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[cols], exp_s[cols])
+
+
 def test_start_after_seq_and_retention_error(spark, tmp_path):
     from ner_spark.iceberg.table import IcebergLocalTable
 
