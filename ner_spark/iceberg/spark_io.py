@@ -183,6 +183,7 @@ def write_iceberg(
     properties: dict | None = None,
     summary: dict | None = None,
     branch: str = "main",
+    set_properties: dict | None = None,
 ) -> int:
     """Write ``df`` as a new Iceberg snapshot; returns the snapshot id.
 
@@ -217,7 +218,8 @@ def write_iceberg(
     if run_id is not None:
         summ["run_id"] = run_id
     op = "append" if mode == "append" else "overwrite"
-    return t.commit(files, operation=op, summary=summ, branch=branch)
+    return t.commit(files, operation=op, summary=summ, branch=branch,
+                    set_properties=set_properties)
 
 
 def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
@@ -641,13 +643,17 @@ def iceberg_sink(
     the branch while main readers keep the base, making publish-time
     semantics ambiguous.
 
-    The replay guard takes the max batch id over the branch's AND
-    main's chains — publish drops the branch ref, and a batch replayed
-    across that boundary must still no-op (its stamp now lives on
-    main's lineage, carried through fast-forward and cherry-pick alike).
-    Consequence: batch ids are per-checkpoint, so run at most ONE stream
-    per table — two concurrent streams would suppress each other's
-    batches (same contract as Iceberg's own streaming writer).
+    The replay guard is two-layered: in-flight batches are stamped on
+    the staging branch's snapshots (walked from the branch head), and
+    PUBLISHED batches raise the ``streaming-batch-id-hwm`` table
+    property — updated atomically inside main-mode commits and by
+    ``wap_publish_stream`` at publish time. The property survives
+    snapshot expiry, and a REFUSED batch's stamps die with its dropped
+    branch (never raising the hwm), so re-staging a fixed batch under a
+    fresh checkpoint re-ingests cleanly. Consequence: batch ids are
+    per-checkpoint, so run at most ONE stream per table — two
+    concurrent streams would suppress each other's batches (same
+    contract as Iceberg's own streaming writer).
     """
     if mode not in ("append", "upsert"):
         raise ValueError(mode)
@@ -674,17 +680,29 @@ def iceberg_sink(
         )
 
     def _last_batch_id(t: IcebergLocalTable) -> int | None:
-        """Newest committed streaming-batch-id: the max stamp over ALL
-        retained snapshots. Not an ancestry walk — a WAP publish drops
-        the branch ref (the stamp then lives mid-chain on main), and
-        snapshot expiry can remove intermediate links while the pinned
-        stamped snapshot itself survives; under the one-stream-per-table
-        contract every stamp in the metadata belongs to this stream, so
-        the global max is exactly its high-water mark."""
-        ids = [int(s["summary"]["streaming-batch-id"])
-               for s in t.snapshots()
-               if "streaming-batch-id" in s["summary"]]
-        return max(ids) if ids else None
+        """Newest committed streaming-batch-id this stream must not
+        repeat: the max of (a) the ``streaming-batch-id-hwm`` table
+        property — the PUBLISHED high-water mark, which survives
+        snapshot expiry and is never raised by a refused-and-discarded
+        staging branch — and (b) the stamp on the staging branch's head
+        chain, which covers in-flight batches that haven't published
+        yet. Deliberately NOT a global max over all snapshots: a
+        discarded branch's stamps must not suppress re-ingesting the
+        fixed batch."""
+        best = None
+        hwm = t.properties().get("streaming-batch-id-hwm")
+        if hwm is not None:
+            best = int(hwm)
+        by_id = {s["snapshot-id"]: s for s in t.snapshots()}
+        r = t.refs().get(branch)
+        cur = r["snapshot-id"] if r is not None else None
+        while cur is not None and cur in by_id:
+            b = by_id[cur]["summary"].get("streaming-batch-id")
+            if b is not None:
+                best = max(best if best is not None else -1, int(b))
+                break  # newest stamped snapshot on the chain wins
+            cur = by_id[cur].get("parent-snapshot-id")
+        return best
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         t = IcebergLocalTable(location)
@@ -694,12 +712,19 @@ def iceberg_sink(
             if last is not None and last >= batch_id:
                 return  # replayed batch: already committed
         summ = {"streaming-batch-id": batch_id}
+        # main-mode commits ARE published: raise the hwm property inside
+        # the same atomic metadata swap. Branch-mode commits leave it to
+        # wap_publish_stream — a refused batch must stay replayable.
+        props = (
+            {"streaming-batch-id-hwm": batch_id} if branch == "main"
+            else None
+        )
         if mode == "upsert":
             batch_df = _last_per_key(batch_df)
         if mode == "upsert" and exists:
             merge_upsert_iceberg_mor(
                 batch_df.sparkSession, location, batch_df, key=key,
-                summary=summ,
+                summary=summ, set_properties=props,
             )
             return
         # first batch (nothing to delete against) or plain append mode
@@ -710,6 +735,7 @@ def iceberg_sink(
             mode="append",
             summary=summ,
             branch=branch,
+            set_properties=props,
         )
 
     return _write
@@ -1009,6 +1035,7 @@ def merge_upsert_iceberg_mor(
     key: str,
     run_id: str | None = None,
     summary: dict | None = None,
+    set_properties: dict | None = None,
 ) -> int:
     """Merge-on-read MERGE: one atomic ``delete`` snapshot that
     equality-deletes the delta's keys AND appends the delta's rows.
@@ -1032,7 +1059,7 @@ def merge_upsert_iceberg_mor(
     out = mor_replace_keys(
         spark, location, delta.select(key).dropDuplicates(), delta, key,
         summary={"merge-mode": "merge-on-read", **(summary or {})},
-        run_id=run_id,
+        run_id=run_id, set_properties=set_properties,
     )
     if out is None:  # empty delta: nothing to delete, nothing to append
         snap = t.current_snapshot()
@@ -1048,6 +1075,7 @@ def mor_replace_keys(
     key: str,
     run_id: str | None = None,
     summary: dict | None = None,
+    set_properties: dict | None = None,
 ) -> int | None:
     """One atomic MOR commit: equality-delete every row matching ``keys``
     AND append ``rows`` — the general "replace these key groups" shape.

@@ -1041,6 +1041,7 @@ class IcebergLocalTable:
         branch: str = "main",
         replace_paths: set[str] | None = None,
         manifests_override=None,
+        set_properties: dict | None = None,
     ) -> int:
         """Commit a snapshot; returns the snapshot id.
 
@@ -1195,6 +1196,13 @@ class IcebergLocalTable:
         md["snapshots"].append(snap)
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
+        if set_properties:
+            # table-property updates ride the same atomic metadata swap
+            # (e.g. the streaming sink's published batch high-water mark)
+            md["properties"] = {
+                **(md.get("properties") or {}),
+                **{k: str(v) for k, v in set_properties.items()},
+            }
         refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         md["refs"] = refs
         if branch == "main":
@@ -1587,12 +1595,16 @@ class IcebergLocalTable:
                     )
         return out
 
-    def scan_snapshot_adds(self, snapshot_id: int) -> list[DataFile]:
+    def scan_snapshot_adds(
+        self, snapshot_id: int, md: dict | None = None
+    ) -> list[DataFile]:
         """Data files ADDED by exactly one snapshot, from its OWN manifest
         list (entries at its sequence number, status ADDED) — works for
         snapshots on any branch, which is why the WAP audit reads staged
-        deltas through it."""
-        md = self.metadata()
+        deltas through it. Pass ``md`` to plan many snapshots against ONE
+        metadata version (and skip per-call metadata re-reads)."""
+        if md is None:
+            md = self.metadata()
         snap = next(
             (s for s in md.get("snapshots", [])
              if s["snapshot-id"] == snapshot_id), None,
@@ -1865,10 +1877,30 @@ class IcebergLocalTable:
             manifests_override=_build,
         )
 
+    def set_properties(self, props: dict) -> None:
+        """Merge ``props`` into the table properties in one metadata
+        commit (no snapshot). Properties survive snapshot expiry, which
+        is what makes them the right home for consumer high-water marks
+        (e.g. the streaming sink's published batch id)."""
+        md = self.metadata()
+        md["properties"] = {
+            **(md.get("properties") or {}),
+            **{k: str(v) for k, v in props.items()},
+        }
+        md["last-updated-ms"] = _NOW_MS()
+        self._write_metadata(md, self.current_version() + 1)
+
+    def properties(self) -> dict:
+        return dict(self.metadata().get("properties") or {})
+
     def rollback_to(
         self, snapshot_id: int, require_ancestor: bool = True
     ) -> int:
         """Move main back to ``snapshot_id`` — the undo for a bad publish.
+        Note: the streaming sink's published high-water mark
+        (``streaming-batch-id-hwm`` property) is NOT rolled back — if the
+        intent is to re-ingest the rolled-back batches, lower or remove
+        the property explicitly via ``set_properties``.
         One metadata swap; no file is touched, so rolling FORWARD again
         (rollback_to the newer id with ``require_ancestor=False``) stays
         possible until ``expire_snapshots`` reclaims it. By default the
@@ -2086,14 +2118,6 @@ class IcebergLocalTable:
         # snapshot unexpirable, and dropping a live branch head would leave
         # the refs map dangling
         pinned = {r["snapshot-id"] for r in (md.get("refs") or {}).values()}
-        # the newest streaming-batch-id stamp is the sink's exactly-once
-        # replay guard; expiring it would let a checkpoint replay after a
-        # maintenance window re-commit an already-published batch
-        stamped = [s for s in snaps
-                   if "streaming-batch-id" in s["summary"]]
-        if stamped:
-            pinned.add(max(stamped, key=lambda s: s["sequence-number"])
-                       ["snapshot-id"])
         keep = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last]
             if s["snapshot-id"] in pinned

@@ -290,6 +290,19 @@ def wap_publish_stream(
             for sid in staged_ids:
                 t.cherry_pick(sid)
             rebased = True
+        # raise the published high-water mark: the sink's replay guard
+        # reads it after the branch (and its stamps) are gone, and it
+        # survives snapshot expiry. A refused batch never reaches here,
+        # so its discarded stamps stay replayable.
+        stamps = [
+            int(by_id[sid]["summary"]["streaming-batch-id"])
+            for sid in staged_ids
+            if "streaming-batch-id" in by_id[sid]["summary"]
+        ]
+        if stamps:
+            prev = t.properties().get("streaming-batch-id-hwm")
+            hwm = max(stamps + ([int(prev)] if prev is not None else []))
+            t.set_properties({"streaming-batch-id-hwm": hwm})
         t.drop_ref(branch)
     return {
         "published": published,

@@ -432,7 +432,9 @@ def iceberg_stream_read(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("iceberg_stream drain still running after 300s")
     if q.exception() is not None:
         raise q.exception()
     drained = spark.read.schema(

@@ -117,23 +117,31 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
                      for s in md.get("partition-specs", [])}
             by_src = {f["id"]: f["name"] for f in struct["fields"]}
             # ancestry walk head→lo: branch snapshots can't leak in, and
-            # an expiry hole inside (lo, hi] surfaces as an error
+            # an expiry hole anywhere in the walk surfaces as an error —
+            # a fresh stream over a table whose early history expired
+            # must refuse, not silently emit the retained tail only
             chain: list[dict] = []
             snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
             cur = (md.get("refs") or {}).get("main", {}).get("snapshot-id")
+            reached = cur is None  # empty table: nothing to stream
             while cur is not None and cur in snaps:
                 s = snaps[cur]
                 if s["sequence-number"] <= lo:
+                    reached = True
                     break
                 if s["sequence-number"] <= hi:
                     chain.append(s)
                 cur = s.get("parent-snapshot-id")
             else:
-                if lo > self.start_seq:
-                    raise ValueError(
-                        f"snapshots at seq <= {lo} have been expired; the "
-                        "stream's lag exceeded snapshot retention"
-                    )
+                reached = reached or cur is None  # walked to creation
+            if not reached:
+                raise ValueError(
+                    f"snapshot history at seq <= {lo} (ancestor "
+                    f"{cur}) has been expired; the stream's offset can no "
+                    "longer be expressed — its lag exceeded snapshot "
+                    "retention (or start_after_seq skips into expired "
+                    "history)"
+                )
             out: list[_FilePartition] = []
             for s in reversed(chain):  # oldest first
                 op = s["summary"]["operation"]
@@ -149,7 +157,7 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
                     )
                 if op == "overwrite":
                     continue  # skip_row_deltas: rewrites don't stream
-                for f in t.scan_snapshot_adds(s["snapshot-id"]):
+                for f in t.scan_snapshot_adds(s["snapshot-id"], md=md):
                     identity = {}
                     sid = None
                     # find the spec the file was written under via its
@@ -218,13 +226,24 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
     def _pa_type(ddl_type: str):
         import pyarrow as pa
 
-        return {
+        if ddl_type.startswith("decimal"):
+            p, s = ddl_type[ddl_type.index("(") + 1:-1].split(",")
+            return pa.decimal128(int(p), int(s))
+        t = {
             "string": pa.string(), "int": pa.int32(), "bigint": pa.int64(),
             "double": pa.float64(), "float": pa.float32(),
             "boolean": pa.bool_(), "date": pa.date32(),
             "timestamp": pa.timestamp("us"),
             "timestamp_ntz": pa.timestamp("us"),
-        }.get(ddl_type, pa.string())
+        }.get(ddl_type)
+        if t is None:
+            # a silent string fallback would hand Spark a wrong-typed
+            # Arrow column; fail at the column that needs the mapping
+            raise NotImplementedError(
+                f"iceberg_stream cannot synthesize a column of type "
+                f"{ddl_type!r} (identity-partition or schema-evolved)"
+            )
+        return t
 
 except ImportError:  # pragma: no cover — pyspark < 4
     IcebergStreamDataSource = None

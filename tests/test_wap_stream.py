@@ -206,24 +206,57 @@ def test_rebase_publish_after_main_advances(spark, tmp_path):
 
 
 def test_replay_guard_survives_maintenance(spark, tmp_path):
-    """Snapshot expiry must pin the newest batch-stamped snapshot: a
-    checkpoint replay after a maintenance window would otherwise find
-    no stamp and re-commit an already-published batch."""
+    """The published high-water mark lives in table PROPERTIES, which
+    survive snapshot expiry: a checkpoint replay after a maintenance
+    window must still no-op even when every stamped snapshot expired."""
     loc = str(tmp_path / "tx")
     sink = iceberg_sink(loc, branch="st")
     sink(_turns(spark, "c_a", 0, 3), 0)
     assert wap_publish_stream(spark, loc, "st")["published"]
-    # main gains ordinary commits; maintenance expires aggressively
+    t = IcebergLocalTable(loc)
+    assert t.properties()["streaming-batch-id-hwm"] == "0"
+    # main gains ordinary commits; maintenance expires aggressively —
+    # every stamped snapshot may go, the property stays
     write_iceberg(_turns(spark, "c_m1", 0, 2), loc, mode="append")
     write_iceberg(_turns(spark, "c_m2", 0, 2), loc, mode="append")
     t = IcebergLocalTable(loc)
     t.expire_snapshots(keep_last=1)
     t = IcebergLocalTable(loc)
-    assert any("streaming-batch-id" in s["summary"] for s in t.snapshots())
+    assert not any(
+        "streaming-batch-id" in s["summary"] for s in t.snapshots()
+    )
     n = len(t.snapshots())
     sink(_turns(spark, "c_a", 0, 3), 0)  # replay after maintenance
     assert len(IcebergLocalTable(loc).snapshots()) == n  # no-op
     assert read_iceberg(spark, loc).count() == 7
+
+
+def test_refused_batch_discard_is_replayable(spark, tmp_path):
+    """A refused-and-discarded staging branch must NOT poison re-ingest:
+    its stamps die with the branch and the published hwm never rose, so
+    the fixed batch re-stages cleanly under a fresh checkpoint."""
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c_base", 0, 3), loc, mode="append")
+    sink = iceberg_sink(loc, branch="st")
+    bad = _turns(spark, "c_base", 0, 2)  # collides with main
+    sink(bad, 0)
+    sink(_turns(spark, "c_ok", 0, 2), 1)
+    r = wap_publish_stream(spark, loc, "st")
+    assert not r["published"]
+    t = IcebergLocalTable(loc)
+    assert "streaming-batch-id-hwm" not in t.properties()
+    t.drop_ref("st")  # operator discards the refused batch
+    # the producer fixes the feed and restarts with a FRESH checkpoint:
+    # batch ids restart at 0 and must not be suppressed
+    sink2 = iceberg_sink(loc, branch="st")
+    sink2(_turns(spark, "c_fixed", 0, 2), 0)
+    sink2(_turns(spark, "c_ok", 0, 2), 1)
+    r2 = wap_publish_stream(spark, loc, "st")
+    assert r2["published"] and r2["staged_rows"] == 4
+    assert read_iceberg(spark, loc).count() == 7
+    assert IcebergLocalTable(loc).properties()[
+        "streaming-batch-id-hwm"
+    ] == "1"
 
 
 def test_rebase_refused_on_interim_row_delta_or_collision(spark, tmp_path):
