@@ -247,26 +247,43 @@ def wap_publish_stream(
             }},
         }
     by_id = {s["snapshot-id"]: s for s in t.snapshots()}
-    ops = {by_id[sid]["summary"]["operation"] for sid in staged_ids}
+    main_head = (t.refs().get("main") or {}).get("snapshot-id")
+    # crash-retry idempotency: a prior rebase publish may have died
+    # mid-cherry-pick — staged snapshots already applied on MAIN'S
+    # ancestry are published, not pending; auditing them again would
+    # self-collide with their own published rows
+    main_anc: set[int] = set()
+    cur = main_head
+    while cur is not None and cur in by_id:
+        main_anc.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    already = {
+        int(by_id[a]["summary"]["cherry-picked-from"])
+        for a in main_anc
+        if "cherry-picked-from" in by_id[a]["summary"]
+    }
+    pending = [sid for sid in staged_ids if sid not in already]
+    ops = {by_id[sid]["summary"]["operation"] for sid in pending}
     checks: dict[str, dict] = {
         "append_only": {
-            "ok": ops == {"append"},
+            "ok": ops <= {"append"},
             "detail": f"staged operations: {sorted(ops)}",
         }
     }
     staged: DataFrame | None = None
-    for sid in staged_ids:
+    for sid in pending:
         part = read_iceberg_snapshot_adds(spark, transcripts_loc, sid)
         staged = part if staged is None else staged.unionByName(part)
     # audit against the CURRENT main head, not the fork point: if main
     # advanced while the stream staged, new collisions must fail the
     # audit before any rebase can publish them
-    main_head = (t.refs().get("main") or {}).get("snapshot-id")
-    delta_checks, staged_rows = _audit_delta(
-        spark, transcripts_loc, staged, main_head,
-        extra_checks, max_collision_probe_keys,
-    )
-    checks.update(delta_checks)
+    staged_rows = 0
+    if staged is not None:
+        delta_checks, staged_rows = _audit_delta(
+            spark, transcripts_loc, staged, main_head,
+            extra_checks, max_collision_probe_keys,
+        )
+        checks.update(delta_checks)
     published = all(c["ok"] for c in checks.values())
     rebased = False
     if published:
@@ -287,7 +304,7 @@ def wap_publish_stream(
                     "do not commute with the staged appends — re-stage "
                     "against the current head"
                 )
-            for sid in staged_ids:
+            for sid in pending:
                 t.cherry_pick(sid)
             rebased = True
         # raise the published high-water mark: the sink's replay guard

@@ -259,6 +259,35 @@ def test_refused_batch_discard_is_replayable(spark, tmp_path):
     ] == "1"
 
 
+def test_rebase_publish_retry_skips_already_picked(spark, tmp_path):
+    """A publish that crashed between cherry-picks must be retryable
+    without duplicating the already-applied snapshots' rows."""
+    loc = str(tmp_path / "tx")
+    write_iceberg(_turns(spark, "c_base", 0, 4), loc, mode="append")
+    sink = iceberg_sink(loc, branch="st")
+    sink(_turns(spark, "c_a", 0, 3), 0)
+    write_iceberg(_turns(spark, "c_main2", 0, 2), loc, mode="append")
+    sink(_turns(spark, "c_b", 0, 2), 1)
+    # simulate the crash: the first staged snapshot was cherry-picked,
+    # then the process died before set_properties/drop_ref
+    t = IcebergLocalTable(loc)
+    staged0 = min(
+        (s for s in t.snapshots()
+         if "streaming-batch-id" in s["summary"]),
+        key=lambda s: s["sequence-number"],
+    )
+    t.cherry_pick(staged0["snapshot-id"])
+    r = wap_publish_stream(spark, loc, "st", rebase_on_diverged=True)
+    assert r["published"] and r["rebased"]
+    expect = (
+        _turns(spark, "c_base", 0, 4)
+        .unionByName(_turns(spark, "c_main2", 0, 2))
+        .unionByName(_turns(spark, "c_a", 0, 3))
+        .unionByName(_turns(spark, "c_b", 0, 2))
+    )
+    assert _rows(read_iceberg(spark, loc)) == _rows(expect)  # no dupes
+
+
 def test_rebase_refused_on_interim_row_delta_or_collision(spark, tmp_path):
     from ner_spark.iceberg.spark_io import delete_iceberg_where
 
