@@ -54,8 +54,16 @@ def wap_ingest(
     batch_id: str,
     extra_checks: list[Callable[[DataFrame], tuple[bool, str]]] | None = None,
     max_collision_probe_keys: int = 10_000,
+    partition_by: tuple[str, ...] = ("days(ts)", "bucket(16, conv_id)"),
 ) -> dict:
     """Stage ``batch`` on branch ``audit-{batch_id}``, audit, publish.
+
+    ``partition_by`` applies only when the batch CREATES the table; the
+    default is the scale-sane transcript layout — temporal dirs bound
+    every incremental scan to the new days and conv_id buckets keep
+    per-conversation repair to 1/N of the data. (Identity
+    ``conv_id`` partitioning would create one directory per
+    conversation: pathological at any real conversation count.)
 
     Returns ``{"published": bool, "branch": str, "snapshot_id": int,
     "staged_rows": int, "checks": {name: {"ok": bool, "detail": str}}}``.
@@ -75,7 +83,7 @@ def wap_ingest(
     )
     staged_id = write_iceberg(
         batch, transcripts_loc, mode="append", branch=branch,
-        run_id=batch_id, partition_by=["conv_id"],
+        run_id=batch_id, partition_by=list(partition_by),
     )
     t = IcebergLocalTable(transcripts_loc)
 

@@ -75,9 +75,14 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
         def streamReader(self, schema):
             return _IcebergStreamReader(self.options)
 
-    class _FilePartition(InputPartition):
-        def __init__(self, path: str, identity: dict, ddl: str):
-            self.path, self.identity, self.ddl = path, identity, ddl
+    class _FilesPartition(InputPartition):
+        """One read task over a BIN of data files (path, identity-cols)
+        — small files pack together up to the byte budget, the same
+        packing Spark's own file sources do via maxPartitionBytes, so a
+        trickle-committed table doesn't become one task per tiny file."""
+
+        def __init__(self, files: list, ddl: str):
+            self.files, self.ddl = files, ddl
 
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -86,6 +91,9 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
                 raise ValueError("iceberg_stream requires option('location')")
             self.skip_row_deltas = (
                 str(options.get("skip_row_deltas", "false")).lower() == "true"
+            )
+            self.max_partition_bytes = int(
+                options.get("max_partition_bytes", str(32 * 1024 * 1024))
             )
             # start_after_seq: consume only snapshots with a strictly
             # greater sequence number (0 = from table creation)
@@ -142,7 +150,7 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
                     "retention (or start_after_seq skips into expired "
                     "history)"
                 )
-            out: list[_FilePartition] = []
+            entries: list[tuple] = []  # (path, size, identity)
             for s in reversed(chain):  # oldest first
                 op = s["summary"]["operation"]
                 if op == "replace":
@@ -172,36 +180,49 @@ try:  # pyspark >= 4 only; import-gated like TranscriptStreamDataSource
                         col = by_src.get(pf["source-id"])
                         if col is not None:
                             identity[col] = f.partition.get(pf["name"])
-                    out.append(_FilePartition(f.path, identity, ddl))
+                    entries.append((f.path, f.file_size, identity))
+            # bin-pack into tasks by byte budget (commit order preserved)
+            out: list[_FilesPartition] = []
+            cur_files: list = []
+            cur_bytes = 0
+            for path, size, identity in entries:
+                if cur_files and cur_bytes + size > self.max_partition_bytes:
+                    out.append(_FilesPartition(cur_files, ddl))
+                    cur_files, cur_bytes = [], 0
+                cur_files.append((path, identity))
+                cur_bytes += size
+            if cur_files:
+                out.append(_FilesPartition(cur_files, ddl))
             return out
 
         def read(self, part) -> Iterator:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(part.path)
-            n = tbl.num_rows
-            cols, names = [], []
-            for field_ddl in _split_ddl(part.ddl):
-                name, typ = field_ddl.split(" ", 1)
-                names.append(name)
-                if name in tbl.column_names:
-                    col = tbl.column(name)
-                    if typ in TS_COLS and pa.types.is_timestamp(col.type):
-                        # normalize to micros (files carry micros already;
-                        # belt-and-braces for older fixtures)
-                        col = col.cast(pa.timestamp("us"))
-                    cols.append(col)
-                elif name in part.identity:
-                    v = part.identity[name]
-                    pt = _pa_type(typ)
-                    cols.append(
-                        pa.nulls(n, pt) if v is None
-                        else pa.array([v] * n, type=pt)
-                    )
-                else:  # schema evolution: column added after this file
-                    cols.append(pa.nulls(n, _pa_type(typ)))
-            yield from pa.table(cols, names=names).to_batches()
+            fields = [f.split(" ", 1) for f in _split_ddl(part.ddl)]
+            for path, identity in part.files:
+                tbl = pq.read_table(path)
+                n = tbl.num_rows
+                cols, names = [], []
+                for name, typ in fields:
+                    names.append(name)
+                    if name in tbl.column_names:
+                        col = tbl.column(name)
+                        if typ in TS_COLS and pa.types.is_timestamp(col.type):
+                            # normalize to micros (files carry micros
+                            # already; belt-and-braces for old fixtures)
+                            col = col.cast(pa.timestamp("us"))
+                        cols.append(col)
+                    elif name in identity:
+                        v = identity[name]
+                        pt = _pa_type(typ)
+                        cols.append(
+                            pa.nulls(n, pt) if v is None
+                            else pa.array([v] * n, type=pt)
+                        )
+                    else:  # schema evolution: column added after this file
+                        cols.append(pa.nulls(n, _pa_type(typ)))
+                yield from pa.table(cols, names=names).to_batches()
 
         def commit(self, end: dict) -> None:
             pass  # offsets live in the checkpoint; nothing to clean up
