@@ -212,6 +212,15 @@ def write_iceberg(
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
     df, spec_names = _partition_projection(t, md, df)
+    if spec_names:
+        # hash-cluster on the partition layout before the partitionBy
+        # write: without this every shuffle task writes into every hive
+        # dir — measured 45,933 files for ONE 64k-row append under
+        # days(ts)+bucket(16) vs one file per populated dir clustered.
+        # The same idiom compact_iceberg_partitions uses; parallelism is
+        # bounded by populated-dir count, which at production batch
+        # sizes exceeds the executor count anyway.
+        df = df.repartition(*[F.col(c) for c in spec_names])
     _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
     files = _stat_commit_dir(t, md, location, commit_dir)
     summ = dict(summary or {})
