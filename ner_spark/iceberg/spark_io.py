@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ner_spark.iceberg import transforms
+from ner_spark.iceberg.zorder import zorder_column
 from ner_spark.iceberg.table import (
     DataFile,
     IcebergLocalTable,
@@ -797,6 +798,8 @@ def compact_iceberg_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 6,
 ) -> dict:
     """Partition-scoped rewrite_data_files: binpack ONLY the partitions
     whose live files are smaller than they should be, leaving the rest of
@@ -814,8 +817,16 @@ def compact_iceberg_partitions(
     deletes no longer apply to them but still apply to untouched old
     files; carried position deletes naming replaced paths match nothing.
 
+    Clustering variants (mutually exclusive): ``sort_by`` range-clusters
+    on one sort order (disjoint bounds along that prefix only);
+    ``zorder_by`` clusters on an interleaved-bit Morton curve so file
+    bounds prune probes on EVERY named column (see iceberg.zorder —
+    upstream's ``sort_order => 'zorder(a, b)'``).
+
     Returns {"partitions_compacted", "files_in", "files_out"}.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     t = IcebergLocalTable(location)
     md = t.metadata()
     files = t.scan()
@@ -829,7 +840,9 @@ def compact_iceberg_partitions(
         # binpack only helps when it shrinks the file count; a sorted
         # rewrite also pays on an already-compact multi-file partition
         # (overlapping bounds → disjoint bounds)
-        if len(fs) >= min_input_files and (sort_by or n_out < len(fs)):
+        if len(fs) >= min_input_files and (
+            sort_by or zorder_by or n_out < len(fs)
+        ):
             picked.append((fs, n_out))
     if not picked:
         return {"partitions_compacted": 0, "files_in": 0, "files_out": 0}
@@ -859,6 +872,28 @@ def compact_iceberg_partitions(
         # name; plain binpack otherwise.
         keys = list(spec_names or []) + list(sort_by)
         df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    elif zorder_by:
+        # z-order rewrite: range-cluster + sort on the Morton code so
+        # each file covers a compact hyper-rectangle of the combined key
+        # space — min/max bounds prune probes on EITHER column. The
+        # clustering column is derived (boundary sampling reads the
+        # rewrite input once per z column, bounded collect) and dropped
+        # before the write; only its ordering survives, as file layout.
+        zc = "__zorder__"
+        df = df.withColumn(
+            zc,
+            zorder_column(
+                df, list(zorder_by),
+                est_rows=sum(f.record_count for f in sel),
+                bits=zorder_bits,
+            ),
+        )
+        keys = list(spec_names or []) + [zc]
+        df = (
+            df.repartitionByRange(n_out, *keys)
+            .sortWithinPartitions(*keys)
+            .drop(zc)
+        )
     elif spec_names:
         # hash-cluster on the partition columns so each rewritten
         # partition binpacks into its own task → one output file per
@@ -875,6 +910,8 @@ def compact_iceberg_partitions(
     }
     if sort_by:
         summ["compaction-sort-order"] = ",".join(sort_by)
+    if zorder_by:
+        summ["compaction-zorder"] = ",".join(zorder_by)
     t.commit(
         new_files, operation="replace",
         replace_paths={f.path for f in sel},
@@ -893,11 +930,13 @@ def maintain_iceberg(
     target_file_bytes: int = 128 * 1024 * 1024,
     keep_snapshots: int = 3,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     expire_older_than_ms: int | None = None,
 ) -> dict:
     """The nightly maintenance window as one call, in dependency order:
     partition-scoped compaction (binpack small-file partitions, folding
-    MOR deltas; sorted rewrite if ``sort_by``), manifest rewrite (merge
+    MOR deltas; sorted rewrite if ``sort_by``, z-order if ``zorder_by``),
+    manifest rewrite (merge
     the day's per-commit manifests so scan planning opens few Avro
     files, not one per commit), snapshot expiry (keeps the newest
     ``keep_snapshots`` plus every ref head), then orphan-file cleanup
@@ -906,7 +945,7 @@ def maintain_iceberg(
     what the day's churn costs, never O(table)."""
     stats = compact_iceberg_partitions(
         spark, location, target_file_bytes=target_file_bytes,
-        sort_by=sort_by,
+        sort_by=sort_by, zorder_by=zorder_by,
     )
     t = IcebergLocalTable(location)
     mstats = t.rewrite_manifests()

@@ -855,3 +855,89 @@ def iceberg_sorted_rewrite(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_rows"),
              _dsum("o_totalprice", "sum_price"))
     )
+
+
+@register(
+    "iceberg_zorder_rewrite",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_orderkey % 4 = 2)
+    SELECT 'date_corner' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM t WHERE o_orderdate < TIMESTAMP '1996-06-01'
+    UNION ALL
+    SELECT 'price_corner' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM t WHERE o_totalprice < 80000.0
+    """,
+)
+def iceberg_zorder_rewrite(spark, sf):
+    """Z-order rewrite differential: four hash-striped appends give every
+    file the full (o_orderdate, o_totalprice) span, then
+    ``compact_iceberg_partitions(zorder_by=['o_orderdate',
+    'o_totalprice'])`` rewrites the table clustered on the interleaved-bit
+    Morton curve (iceberg/zorder.py), and corner probes on EACH dimension
+    are answered through the rewritten layout. The query asserts BOTH
+    probes actually prune on file bounds (the property a single-column
+    sort cannot deliver — see test_iceberg_zorder.py's sort-vs-z
+    tradeoff test) and the oracle recomputes each probe's aggregate from
+    the raw rows: a rewrite that drops/duplicates rows, mis-buckets the
+    curve, or prunes a needed file is a value mismatch.
+
+    Scale shape: z-order is how a 100 TB table buys file-level pruning on
+    TWO hot columns at once (``ts`` ranges AND entity/user equality) —
+    upstream Iceberg's ``sort_order => 'zorder(a, b)'`` and Delta's
+    ``OPTIMIZE ... ZORDER BY``; the probe cost is decided in manifest
+    metadata before any file opens.
+    """
+    import datetime as dt
+
+    from ner_spark.iceberg.spark_io import (
+        compact_iceberg_partitions,
+        read_iceberg,
+        write_iceberg,
+    )
+    from ner_spark.iceberg.table import IcebergLocalTable
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).where(F.col("o_orderkey") % 4 == 2)
+    loc = tempfile.mkdtemp(prefix="iceberg_zorder_") + "/orders_tbl"
+    for i in range(4):  # hash stripes → full span per file, both dims
+        write_iceberg(
+            o.where(F.col("o_orderkey") % 16 == 2 + 4 * i).coalesce(1),
+            loc, mode="overwrite" if i == 0 else "append",
+        )
+    tbl = IcebergLocalTable(loc)
+    total = sum(f.file_size for f in tbl.scan())
+    compact_iceberg_partitions(
+        spark, loc, target_file_bytes=max(1, total // 12),
+        zorder_by=["o_orderdate", "o_totalprice"],
+    )
+    tbl = IcebergLocalTable(loc)
+    n_live = len(tbl.scan())
+    probes = {
+        "date_corner": [
+            ("o_orderdate", "<", dt.datetime(1996, 6, 1,
+                                             tzinfo=dt.timezone.utc))
+        ],
+        "price_corner": [("o_totalprice", "<", 80000.0)],
+    }
+    parts = []
+    for tag, probe in probes.items():
+        n_hit = len(tbl.scan(filters=probe))
+        if not n_hit < n_live:
+            raise AssertionError(
+                f"zorder rewrite did not prune {tag}: "
+                f"{n_hit}/{n_live} files hit"
+            )
+        parts.append(
+            read_iceberg(spark, loc, filters=probe)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 _dsum("o_totalprice", "sum_price"))
+            .select(F.lit(tag).alias("probe"), "n_rows", "sum_price")
+        )
+    return parts[0].unionAll(parts[1])
