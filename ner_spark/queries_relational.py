@@ -2249,3 +2249,73 @@ def array_hof_funcs(spark, sf):
             "all_small"
         ),
     )
+
+
+@register(
+    "join_bloom_runtime",
+    """
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice), 4) AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime(spark, sf):
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selective dim-side predicate (o_orderpriority = '1-URGENT',
+    ~1/5 of orders) is turned into a bloom_filter_agg subquery whose
+    might_contain() probe is pushed onto the lineitem scan, so the fact
+    side drops ~4/5 of its rows BEFORE the join shuffle. This is the
+    row-level sibling of dynamic partition pruning and the big lever on
+    a 100 TB fact scan whose join key is not the partition key: the
+    filter costs one tiny aggregate over the already-filtered dim and
+    removes the dominant shuffle volume. Injection requires the join to
+    be non-broadcast (isProbablyShuffleJoin) and the probe-side scan to
+    clear applicationSideScanSizeThreshold, so at fixture scale both
+    knobs are set for the duration of ONE eager execution
+    (localCheckpoint) and restored before returning — at production
+    scale the default thresholds (10 GB scan, 10 MB creation side)
+    trigger on their own. The injected plan shape is pinned in
+    tests/test_plan_shapes.py; values are conf-independent (the bloom
+    filter is a pure pre-filter; false positives only re-join rows the
+    join itself discards)."""
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k in knobs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        li = t(spark, sf, "lineitem")
+        o = t(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+            )
+        )
+        # Execute NOW, while the injection knobs are live; the returned
+        # frame is the materialized result, so restoring the session
+        # confs cannot un-inject the filter.
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -2252,3 +2252,53 @@ def kmeans_lloyd(spark, sf):
     return assign(cents).select(
         "vec_id", "cid", F.round("d", 4).alias("dist2")
     )
+
+
+@register(
+    "text_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    td AS (
+      SELECT token, doc_id, COUNT(*) AS c
+      FROM toks WHERE token <> '' GROUP BY 1, 2)
+    SELECT token,
+           CAST(SUM(c) AS BIGINT) AS tf,
+           CAST(COUNT(*) AS BIGINT) AS df
+    FROM td GROUP BY token HAVING COUNT(*) >= 5
+    ORDER BY tf DESC, token LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf):
+    """Vocabulary construction: top-50 corpus tokens by term frequency
+    with document frequency, min-df 5 — the tokenizer-training /
+    corpus-statistics primitive of an LLM data pipeline (BPE seeding,
+    stopword induction, domain drift monitoring all start from exactly
+    this table). Dataflow is the scalable two-level shape: tokens
+    aggregate FIRST per (token, doc_id) — map-side partial aggregation
+    collapses each document's repeats before the single shuffle on
+    token — then per token, so no countDistinct expansion and no
+    (token) hot-key row explosion: the shuffle carries one row per
+    (token, doc) pair, bounded by corpus size, and the final per-token
+    agg is a plain sum/count. Top-50 is TakeOrderedAndProject (no
+    global sort); ties broken by token for a deterministic cross-engine
+    cut. At 100 TB this is one shuffle over the tokenized corpus with
+    partial aggs doing the heavy lifting — the same plan a dedicated
+    vocab counter (e.g. SentencePiece's trainer fed by a MapReduce
+    pre-count) would hand-build."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("tx")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("tx", "[^a-z0-9]+")).alias("token")
+    ).where(F.col("token") != "")
+    td = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        td.groupBy("token")
+        .agg(F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 5)
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )

@@ -406,3 +406,62 @@ def test_unpivot_is_shuffle_free_expand(spark):
     plan = _plan(spark, "unpivot_lineitem_metrics")
     assert "Expand" in plan
     assert "Exchange" not in plan  # melt never shuffles
+
+
+def test_vocab_topk_is_two_level_agg_with_takeordered(spark):
+    plan = _plan(spark, "text_vocab_topk")
+    # two-level: partial agg on (token, doc_id) collapses repeats before
+    # the token shuffle; top-50 never global-sorts
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_bloom_runtime_filter_injects_on_fact_scan(spark):
+    """Runtime bloom-filter join pruning: under the documented knobs the
+    selective orders predicate becomes a bloom_filter_agg subquery whose
+    might_contain probe lands on the lineitem side BEFORE the join, and
+    the filtered values equal the plain join's."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in knobs}
+
+    def q():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+            )
+        )
+
+    baseline = {r["l_returnflag"]: (r["n"], r["rev"]) for r in q().collect()}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        df = q()
+        got = {r["l_returnflag"]: (r["n"], r["rev"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan
+    # the probe must sit on the lineitem (application) side scan branch
+    probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+    assert "l_orderkey" in probe_line
+    assert got == baseline
