@@ -879,14 +879,17 @@ def compact_iceberg_partitions(
         # clustering column is derived (boundary sampling reads the
         # rewrite input once per z column, bounded collect) and dropped
         # before the write; only its ordering survives, as file layout.
+        # The input is persisted first: sampling scans it twice per z
+        # column (distinct estimate + boundary collect) and the range
+        # partitioner samples it again — without the persist each pass
+        # re-runs the file scan AND the MOR delete application.
+        zin = df.persist()
         zc = "__zorder__"
-        df = df.withColumn(
+        while zc in zin.columns:  # never clobber a real table column
+            zc += "_"
+        df = zin.withColumn(
             zc,
-            zorder_column(
-                df, list(zorder_by),
-                est_rows=sum(f.record_count for f in sel),
-                bits=zorder_bits,
-            ),
+            zorder_column(zin, list(zorder_by), bits=zorder_bits),
         )
         keys = list(spec_names or []) + [zc]
         df = (
@@ -902,7 +905,11 @@ def compact_iceberg_partitions(
         df = df.repartition(n_out, *spec_names)
     else:
         df = df.coalesce(n_out)
-    _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
+    try:
+        _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
+    finally:
+        if zorder_by:
+            zin.unpersist()
     new_files = _stat_commit_dir(t, md, location, commit_dir)
     summ = {
         "compaction-target-bytes": target_file_bytes,

@@ -18,9 +18,11 @@ robust to skew where fixed-width binning is not):
 1. Per column, estimate ``2^bits`` quantile boundaries from a
    deterministic value-hash sample (``xxhash64(col) % p == 0`` — the
    same sampling primitive as ``profile_hot_keys``; weighted by the
-   sampled duplicate counts so heavy hitters don't tilt the buckets).
-   Driver-side cost is one bounded ``groupBy(col).count()`` collect per
-   column (~``8k`` distinct values), independent of table size.
+   sampled duplicate counts so heavy hitters don't tilt the buckets;
+   ``p`` sized from the column's approx DISTINCT count so
+   low-cardinality columns keep their full value set). Driver-side cost
+   is one bounded ``groupBy(col).count()`` collect per column (~``8k``
+   distinct values), independent of table size.
 2. Bucket each row JVM-side: ``sum(col >= boundary_i)`` — a chain of
    ``2^bits - 1`` comparisons that stays inside whole-stage codegen
    (no UDF, no Python). Nulls bucket to 0 (the low corner), matching
@@ -43,22 +45,35 @@ def sampled_boundaries(
     df: DataFrame,
     col: str,
     n_buckets: int,
-    est_rows: int,
+    est_rows: int = 0,
     sample_target: int = 8192,
 ) -> list:
     """``n_buckets - 1`` ascending quantile boundaries for ``col``,
     estimated from a deterministic value-hash sample.
 
-    The sample keeps every row whose ``xxhash64(col) % p == 0`` with
-    ``p = est_rows / sample_target`` — deterministic (retry/repartition
-    stable), and collected as ``(value, count)`` pairs so the driver
-    transfer is bounded by DISTINCT sampled values, not rows, even on
-    heavy-hitter columns. Boundaries are weighted empirical quantiles of
-    that sample; duplicates collapse (a value spanning several quantiles
-    contributes one boundary), so constant/low-cardinality columns
-    degrade gracefully to fewer buckets.
+    The sample keeps every row whose ``xxhash64(col) % p == 0`` —
+    deterministic (retry/repartition stable) — and is collected as
+    ``(value, count)`` pairs so the driver transfer is bounded by
+    DISTINCT sampled values, not rows, even on heavy-hitter columns.
+    ``p`` is sized from the column's approx DISTINCT count (one cheap
+    pre-scan), NOT the row count: value-hash sampling thins the distinct
+    VALUE set, so ``p = distinct / sample_target`` keeps ~``sample_target``
+    values whatever the row count, while the old row-count sizing drove
+    ``p`` into the tens of thousands on big tables and silently emptied
+    the sample for low-cardinality columns (a few hundred countries /
+    statuses → zero boundaries → no clustering on that column at all).
+    Low-cardinality columns now take the ``p == 1`` path: a full
+    ``groupBy(col).count()``, whose shuffle is bounded by the distinct
+    count — cheap exactly when it engages. Boundaries are weighted
+    empirical quantiles of the sampled (value, weight) pairs — per-value
+    weights are exact counts, so heavy hitters occupy their true mass —
+    and duplicates collapse, so constant columns degrade gracefully to
+    fewer buckets. ``est_rows`` is accepted for back-compat but unused.
     """
-    p = max(1, est_rows // sample_target)
+    nd = df.select(
+        F.approx_count_distinct(col).alias("nd")
+    ).first()["nd"]
+    p = max(1, nd // sample_target)
     c = F.col(col)
     rows = (
         df.select(col)
@@ -93,14 +108,26 @@ def bucket_expr(col: str, boundaries: list) -> Column:
     e: Column = F.lit(0)
     for b in boundaries:
         e = e + F.when(c >= F.lit(b), 1).otherwise(0)
-    return e.cast("int")
+    return e.cast("bigint")
 
 
 def interleave_expr(bucket_exprs: list[Column], bits: int) -> Column:
     """Morton code: interleave the low ``bits`` bits of each bucket
-    column (column ``ci`` owns bit positions ``i * n + ci``)."""
+    column (column ``ci`` owns bit positions ``i * n + ci``).
+
+    Built on BIGINT throughout — Spark's shiftleft on a 32-bit int takes
+    the shift amount mod 32, so any position >= 31 would silently wrap
+    onto another column's bits (or flip the sign) and scramble the
+    clustering with no error. 64-bit arithmetic gives 62 safe positions;
+    the guard makes an over-budget request loud instead of wrong."""
     n = len(bucket_exprs)
-    z: Column = F.lit(0)
+    if bits * n > 62:
+        raise ValueError(
+            f"z-order bit budget exceeded: {bits} bits x {n} columns"
+            f" = {bits * n} interleaved bits > 62 (bigint, sign-safe);"
+            " lower zorder_bits or drop columns"
+        )
+    z: Column = F.lit(0).cast("bigint")
     for i in range(bits):
         for ci, b in enumerate(bucket_exprs):
             z = z.bitwiseOR(
@@ -112,19 +139,27 @@ def interleave_expr(bucket_exprs: list[Column], bits: int) -> Column:
 
 
 def zorder_column(
-    df: DataFrame, cols: list[str], est_rows: int, bits: int = 6
+    df: DataFrame, cols: list[str], est_rows: int = 0, bits: int = 6
 ) -> Column:
     """The Morton-code clustering column for ``cols`` over ``df``.
 
     Runs one boundary-sampling collect per column (bounded, see
     ``sampled_boundaries``) and returns a pure-JVM expression; callers
-    range-partition + sort on it and drop it before writing."""
+    range-partition + sort on it and drop it before writing. ``bits`` is
+    auto-capped so the interleaved code fits 62 bigint bit positions
+    (e.g. 6 columns cap at 10 bits/column = 1024 buckets each — still
+    far more cells than files): file pruning only needs cell count >
+    file count, so capping costs nothing while an overflow would
+    silently destroy the layout."""
     if len(cols) < 2:
         raise ValueError(
             f"zorder needs >= 2 columns (got {cols!r}); use sort_by for one"
         )
+    if len(cols) > 62:
+        raise ValueError(f"zorder supports at most 62 columns, got {len(cols)}")
+    bits = max(1, min(bits, 62 // len(cols)))
     bexprs = [
-        bucket_expr(c, sampled_boundaries(df, c, 1 << bits, est_rows))
+        bucket_expr(c, sampled_boundaries(df, c, 1 << bits))
         for c in cols
     ]
     return interleave_expr(bexprs, bits)

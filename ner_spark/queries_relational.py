@@ -17,6 +17,18 @@ from pyspark.sql.window import Window as W
 
 from ner_spark.operators.relational import asof_join
 from ner_spark.registry import register, t
+from ner_spark.session import set_confs
+
+# Fixture-scale knobs that let Catalyst's InjectRuntimeFilter engage on a
+# tiny input (production defaults: 10 GB probe-side scan, 10 MB creation
+# side — they trigger on their own at scale). Shared with the plan-pin
+# test so the demo and its gate cannot drift.
+BLOOM_INJECT_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
 
 # ---------------------------------------------------------------------------
 # scans / projection / filters (C1, C3, C4, C5, C6)
@@ -2256,7 +2268,8 @@ def array_hof_funcs(spark, sf):
     """
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l.l_extendedprice), 4) AS rev
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 4) AS rev
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
@@ -2282,21 +2295,7 @@ def join_bloom_runtime(spark, sf):
     tests/test_plan_shapes.py; values are conf-independent (the bloom
     filter is a pure pre-filter; false positives only re-join rows the
     join itself discards)."""
-    knobs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old: dict[str, str | None] = {}
-    for k in knobs:
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    for k, v in knobs.items():
-        spark.conf.set(k, v)
-    try:
+    with set_confs(spark, BLOOM_INJECT_CONFS):
         li = t(spark, sf, "lineitem")
         o = t(spark, sf, "orders").where(
             F.col("o_orderpriority") == "1-URGENT"
@@ -2306,16 +2305,17 @@ def join_bloom_runtime(spark, sf):
             .groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+                # decimal-sum then round: exact accumulation, so the
+                # result is independent of partial-agg order (the bloom
+                # plan and the DuckDB oracle sum in different orders)
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double"),
+                    4,
+                ).alias("rev"),
             )
         )
         # Execute NOW, while the injection knobs are live; the returned
         # frame is the materialized result, so restoring the session
         # confs cannot un-inject the filter.
         return out.localCheckpoint(eager=True)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -8,6 +8,7 @@ builder is driven by spark-submit --master/--py-files (SURVEY.md §3.2).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -106,3 +107,29 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def set_confs(spark: SparkSession, confs: dict[str, str]):
+    """Scope a set of session confs to a block: save whatever is set now
+    (unset keys restore to unset), apply ``confs``, and restore on exit —
+    the one shared implementation of the save/apply/restore dance that
+    conf-sensitive demos (e.g. runtime bloom-filter injection, which
+    needs fixture-scale thresholds) and their plan-pin tests both use, so
+    the two sites cannot drift."""
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

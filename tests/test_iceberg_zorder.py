@@ -212,3 +212,52 @@ def test_sampled_boundaries_are_weighted_quantiles(spark):
     # all-null column -> no boundaries, bucket 0 everywhere
     nulls = spark.range(100).selectExpr("CAST(NULL AS BIGINT) AS v")
     assert sampled_boundaries(nulls, "v", 16, est_rows=100) == []
+
+
+def test_sampled_boundaries_survive_low_cardinality_at_scale(spark):
+    """Sampling rate is sized from the column's DISTINCT count, not row
+    count: a few-valued column on a huge table keeps its full value set
+    (the old row-count sizing drove p into the thousands and silently
+    returned [] — no clustering on that column at all)."""
+    df = spark.range(20000).selectExpr(
+        "CAST(id % 4 AS BIGINT) AS v"
+    )
+    # est_rows is back-compat-ignored; even claiming 10^9 rows the four
+    # distinct values all survive and produce real boundaries
+    b = sampled_boundaries(df, "v", 8, est_rows=1_000_000_000)
+    assert set(b) >= {1, 2, 3}  # every step between the 4 values present
+
+
+def test_interleave_bit_budget_is_guarded_and_capped(spark):
+    """The Morton code is 64-bit and refuses to wrap: interleave_expr
+    raises past 62 bit positions, and zorder_column auto-caps bits so
+    many-column requests stay correct instead of silently scrambling
+    (32-bit shiftleft takes shift mod 32)."""
+    from ner_spark.iceberg.zorder import bucket_expr, interleave_expr
+
+    with pytest.raises(ValueError, match="bit budget"):
+        interleave_expr([F.lit(0), F.lit(0)], bits=32)
+
+    # six z columns at the default 6 bits would need 36 positions on an
+    # int (wraps at 31); the cap keeps 62/6 = 10 bits/column and the
+    # code must stay non-negative with every column still contributing
+    df = spark.range(512).selectExpr(
+        *[f"CAST(pmod(hash(id * {3 + i}), 97) AS BIGINT) AS c{i}"
+          for i in range(6)]
+    )
+    z = zorder_column(df, [f"c{i}" for i in range(6)], bits=6)
+    stats = df.select(z.alias("z")).agg(
+        F.min("z").alias("lo"), F.countDistinct("z").alias("nd")
+    ).first()
+    assert stats["lo"] >= 0
+    assert stats["nd"] > 64  # real multi-column spread, not a few cells
+
+    # high-bits two-column request: position 31 would flip the sign on
+    # int32; on bigint the code stays non-negative and ordered
+    wide = df.select("c0", "c1")
+    zz = interleave_expr(
+        [bucket_expr("c0", list(range(1, 97))),
+         bucket_expr("c1", list(range(1, 97)))],
+        bits=16,
+    )
+    assert wide.select(zz.alias("z")).agg(F.min("z")).first()[0] >= 0

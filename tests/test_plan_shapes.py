@@ -418,19 +418,16 @@ def test_vocab_topk_is_two_level_agg_with_takeordered(spark):
 
 
 def test_bloom_runtime_filter_injects_on_fact_scan(spark):
-    """Runtime bloom-filter join pruning: under the documented knobs the
-    selective orders predicate becomes a bloom_filter_agg subquery whose
-    might_contain probe lands on the lineitem side BEFORE the join, and
-    the filtered values equal the plain join's."""
+    """Runtime bloom-filter join pruning: under the shared injection
+    knobs the selective orders predicate becomes a bloom_filter_agg
+    subquery whose might_contain probe lands on the lineitem side BEFORE
+    the join, and the filtered values equal the plain join's (decimal
+    sum — exact accumulation, so the two physical plans' differing
+    partial-agg orders cannot produce a float mismatch)."""
     from pyspark.sql import functions as F
 
-    knobs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k, None) for k in knobs}
+    from ner_spark.queries_relational import BLOOM_INJECT_CONFS
+    from ner_spark.session import set_confs
 
     def q():
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -442,23 +439,17 @@ def test_bloom_runtime_filter_injects_on_fact_scan(spark):
             .groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                ).alias("rev"),
             )
         )
 
     baseline = {r["l_returnflag"]: (r["n"], r["rev"]) for r in q().collect()}
-    for k, v in knobs.items():
-        spark.conf.set(k, v)
-    try:
+    with set_confs(spark, BLOOM_INJECT_CONFS):
         df = q()
         got = {r["l_returnflag"]: (r["n"], r["rev"]) for r in df.collect()}
         plan = df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan
     # the probe must sit on the lineitem (application) side scan branch
