@@ -2302,3 +2302,98 @@ def text_vocab_topk(spark, sf):
         .orderBy(F.desc("tf"), "token")
         .limit(50)
     )
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    WITH tk AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents),
+    tk2 AS (SELECT token FROM tk WHERE token <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM tk2)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tk2 GROUP BY token
+    HAVING COUNT(*) >= (SELECT CEIL(n * 0.002) FROM tot)
+    """,
+)
+def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
+    """Heavy hitters (tokens with frequency >= phi of the corpus) via the
+    two-phase sketch-then-recount pattern — the shape that replaces a
+    full-vocabulary groupBy at 100 TB:
+
+    Phase 1 (one corpus scan, NO shuffle): each partition builds a
+    Misra-Gries summary of capacity ceil(2/phi) inside mapInPandas —
+    bounded memory however large or skewed the partition, batch-merged
+    via value_counts (vectorized, not per-row python). MG undercounts by
+    at most n_p/cap = phi*n_p/2 per partition, and any token with global
+    frequency >= phi*N has count >= phi*n_p in at least one partition
+    (pigeonhole), so the UNION of per-partition candidate sets provably
+    contains every true heavy hitter — the same mergeable-summary
+    guarantee a count-min sketch gives, but with a deterministic
+    candidate set and no hash-collision overestimates. Each partition
+    also emits its exact token total, so the threshold needs no extra
+    corpus pass.
+
+    Phase 2 (second scan): exact recount of the candidates only — a
+    broadcast semi-join (candidates <= cap x n_partitions rows, tiny)
+    then a groupBy whose shuffle carries ONLY candidate tokens, followed
+    by the exact >= ceil(phi*N) cut. False positives from phase 1 are
+    filtered here, so the result is EXACTLY the brute-force answer (the
+    DuckDB oracle) for any partitioning — precision from the recount,
+    recall from the MG bound.
+
+    Contrast with text_vocab_topk (exact two-level agg): that shuffles
+    one row per (token, doc) pair — fine for top-k, but a frequency-
+    threshold query over a 10^9-type vocabulary wants the shuffle bounded
+    by the CANDIDATE set, which is what the sketch buys."""
+    import math
+
+    import pandas as pd
+
+    cap = math.ceil(2.0 / phi)
+    toks = (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+    )
+
+    def mg(batches):
+        # Misra-Gries over the whole partition, batch-merged: counters
+        # for up to `cap` tokens; reducing past cap subtracts the
+        # (cap+1)-th largest count from all (the mergeable form of the
+        # classic decrement), keeping total undercount <= n_p / cap.
+        counts: dict = {}
+        n_p = 0
+        for b in batches:
+            vc = b["token"].value_counts()
+            n_p += int(vc.sum())
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > cap:
+                kth = sorted(counts.values(), reverse=True)[cap]
+                counts = {
+                    tk: c - kth for tk, c in counts.items() if c > kth
+                }
+        yield pd.DataFrame(
+            {
+                "token": list(counts.keys()) + [None],
+                "n_part": [None] * len(counts) + [n_p],
+            }
+        )
+
+    summ = toks.mapInPandas(mg, schema="token string, n_part long").persist()
+    cands = summ.where(F.col("token").isNotNull()).select("token").distinct()
+    total = summ.agg(F.sum("n_part").alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.ceil(F.col("n") * phi))
+        .select("token", "cnt")
+    )

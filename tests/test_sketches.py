@@ -81,3 +81,75 @@ def test_sketch_aggregation_is_partial(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_hll_sketch_agg" in plan
     assert "partial_approx_count_distinct" in plan or "partial_hllpp" in plan
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_tokens: MG candidate recall + exactness + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    """The sketch-then-recount output must equal the brute-force answer
+    for ANY partitioning (recall from the Misra-Gries bound, precision
+    from the exact recount). Probe with a skewed corpus rearranged three
+    ways, including one that concentrates the hitters in one partition."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.queries_text import heavy_hitters_tokens
+
+    # 3 planted hitters (5%/2%/1% of tokens) over a long uniform tail
+    rows = []
+    for i in range(2000):
+        toks = [f"tail{(i * 17 + j) % 4000}" for j in range(8)]
+        if i % 20 == 0:
+            toks += ["alpha"] * 8
+        if i % 50 == 0:
+            toks += ["beta"] * 8
+        if i % 100 == 0:
+            toks += ["gamma"] * 8
+        rows.append((i, " ".join(toks)))
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile
+
+    exact = None
+    for arrange in (
+        lambda d: d,
+        lambda d: d.repartition(37),
+        lambda d: d.orderBy("doc_id").coalesce(2),
+    ):
+        with tempfile.TemporaryDirectory() as td:
+            arrange(base).write.parquet(f"{td}/documents.parquet")
+            got = sorted(
+                tuple(r)
+                for r in heavy_hitters_tokens(spark, td, phi=0.005).collect()
+            )
+        if exact is None:
+            toks = base.select(
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")
+            ).where(F.col("t") != "")
+            n = toks.count()
+            import math
+
+            thresh = math.ceil(n * 0.005)
+            exact = sorted(
+                (r["t"], r["c"])
+                for r in toks.groupBy("t")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= thresh)
+                .collect()
+            )
+            assert {t for t, _ in exact} >= {"alpha", "beta", "gamma"}
+        assert got == exact
+
+
+def test_heavy_hitters_recount_is_broadcast_and_candidate_bounded(spark):
+    """Plan shape: the recount join must BROADCAST the candidate set (the
+    corpus never shuffles for the join) and the only aggregation shuffle
+    carries candidate tokens, not the full vocabulary."""
+    from ner_spark.queries_text import heavy_hitters_tokens
+
+    df = heavy_hitters_tokens(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
