@@ -2397,3 +2397,101 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
         .where(F.col("cnt") >= F.ceil(F.col("n") * phi))
         .select("token", "cnt")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(toks[i:i+7], ' ') AS s
+      FROM d, LATERAL UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+    ),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+      FROM isl)
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 7 AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS n_dup_tokens
+    FROM grp GROUP BY doc_id, isle
+    """,
+)
+def dedup_substring_spans(spark, sf, w: int = 8):
+    """Substring-level dedup (the train-data op from Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): find,
+    per document, the MAXIMAL token spans whose every w-token window
+    also appears in at least one OTHER document — the spans an exact
+    substring deduplicator would cut, without a suffix array.
+
+    Spark-first shape, three linear passes instead of suffix-array
+    construction (which needs global sorts of every rotation):
+
+    1. Shingle: one scan emits (doc_id, pos, xxhash64(w-gram)) via a
+       JVM-side transform+posexplode over the token array — no Python,
+       and the 8-byte hash (not the ~50-byte shingle string) is what
+       every later exchange carries. Collisions only ever ADD a
+       candidate window (two docs hash-agree without string equality):
+       P(any collision) over 10^9 shingles is ~1e-19 per pair sum
+       ≈ 10^18/2^64 ~ 5e-2 at the full 100 TB corpus and ~1e-7 at the
+       gate scales, and a collision risks only a w-token over-mark.
+    2. Duplicated-window set: groupBy(hash) with a partial-agg
+       count_distinct(doc_id) >= 2 — linear in postings (the analogous
+       pair-join in dedup_ngram_jaccard is quadratic per hot shingle
+       and needs a df cap; a threshold count needs none). The dup set
+       is corpus-sized, so it joins back by shuffle equi-join on the
+       hash, NOT a broadcast — AQE is free to broadcast it at small sf.
+    3. Maximal spans: per-doc gaps-and-islands over the surviving
+       window positions (lag + running sum, one shuffle keyed by
+       doc_id); windows of equal width sorted by pos have monotone
+       ends, so lag(pos) alone detects gaps — no running-max needed.
+       Two windows merge when the next starts within (or adjacent to)
+       the previous extent: pos <= lag(pos) + w.
+
+    Output: (doc_id, span_start, span_end, n_dup_tokens) per maximal
+    duplicated span, token-indexed [start, end] inclusive. Removal /
+    keep-first policies are a trivial map over these spans; detection
+    is the expensive, shuffle-bearing part. The DuckDB oracle matches
+    on shingle STRINGS (no hash), so the differential also bounds the
+    hash-collision story at the gate scales."""
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= w)
+    )
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - w),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.col("toks"), i + 1, w), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    m = sh.join(dup, "h", "left_semi")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(win) + w, 1).otherwise(0)
+    isl = m.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id", "pos", F.sum("brk").over(win).alias("isle")
+    )
+    return isl.groupBy("doc_id", "isle").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + (w - 1)).cast("int").alias("span_end"),
+        (F.max("pos") - F.min("pos") + w).cast("int").alias("n_dup_tokens"),
+    ).drop("isle").select("doc_id", "span_start", "span_end", "n_dup_tokens")

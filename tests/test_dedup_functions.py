@@ -135,3 +135,43 @@ def test_bucket_cap_drops_degenerate_buckets(spark):
 
     uncapped = lsh_pairs_from_signatures(sig, max_bucket=None)
     assert uncapped.count() == 50 * 49 // 2 + 1  # the d^2 the cap refuses
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans: exact maximal-span boundaries on planted runs
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_exact_boundaries(spark):
+    """Hand-planted shared runs: the operator must emit exactly the maximal
+    duplicated token spans — cross-document only (a within-doc repeat does
+    not count), disjoint runs stay separate islands, and docs shorter than
+    the window are excluded."""
+    import tempfile
+
+    from ner_spark.queries_text import dedup_substring_spans
+
+    S = [f"s{i}" for i in range(12)]  # shared by docs 1, 2, 3
+    T = [f"t{i}" for i in range(12)]  # shared by docs 3, 4
+    rows = [
+        (1, " ".join([f"a{i}" for i in range(5)] + S + ["a5", "a6", "a7", "a8"])),
+        (2, " ".join(["b0", "b1", "b2"] + S + [f"b{i}" for i in range(3, 9)])),
+        (3, " ".join(S + [f"c{i}" for i in range(5)] + T)),
+        (4, " ".join(T + [f"d{i}" for i in range(8)])),
+        (5, " ".join([f"u{i}" for i in range(10)] * 2)),  # within-doc repeat
+        (6, "e0 e1 e2 e3 e4"),  # shorter than the window
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{td}/documents.parquet"
+        )
+        got = sorted(
+            tuple(r) for r in dedup_substring_spans(spark, td).collect()
+        )
+    assert got == [
+        (1, 5, 16, 12),
+        (2, 3, 14, 12),
+        (3, 0, 11, 12),
+        (3, 17, 28, 12),
+        (4, 0, 11, 12),
+    ]
