@@ -2335,18 +2335,35 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
     also emits its exact token total, so the threshold needs no extra
     corpus pass.
 
-    Phase 2 (second scan): exact recount of the candidates only — a
-    broadcast semi-join (candidates <= cap x n_partitions rows, tiny)
-    then a groupBy whose shuffle carries ONLY candidate tokens, followed
-    by the exact >= ceil(phi*N) cut. False positives from phase 1 are
-    filtered here, so the result is EXACTLY the brute-force answer (the
-    DuckDB oracle) for any partitioning — precision from the recount,
-    recall from the MG bound.
+    Phase 1b (summary-sized, not data-sized): MG summaries are MERGEABLE
+    (add counters, re-reduce to cap — Agarwal et al.'s mergeable-
+    summaries result), so the per-partition summaries tree-merge through
+    a 32-way then 1-way mapInPandas into ONE global summary of AT MOST
+    cap rows, whatever the input partition count. That bounded summary
+    is collected to the driver (<= cap+1 rows by construction — the same
+    bounded-collect contract as the IVF centroid serve path), giving the
+    candidate list and the exact corpus total N as literals. A naive
+    union of per-partition candidates would be cap x n_partitions rows —
+    at 10^5 input partitions that is no longer broadcastable, which is
+    exactly why the merge must happen summary-side, not join-side.
+    Merged-summary recall: global undercount <= N/(cap+1) < phi*N/2, so
+    every token with frequency >= phi*N keeps a positive counter.
+
+    Phase 2 (second scan): exact recount of the candidates only — the
+    <= cap literal candidates broadcast into a join, so the groupBy
+    shuffle carries ONLY candidate tokens, followed by the exact
+    >= ceil(phi*N) cut. False positives from phase 1 are filtered here,
+    so the result is EXACTLY the brute-force answer (the DuckDB oracle)
+    for any partitioning — precision from the recount, recall from the
+    MG bound.
 
     Contrast with text_vocab_topk (exact two-level agg): that shuffles
     one row per (token, doc) pair — fine for top-k, but a frequency-
     threshold query over a 10^9-type vocabulary wants the shuffle bounded
-    by the CANDIDATE set, which is what the sketch buys."""
+    by the CANDIDATE set, which is what the sketch buys.
+
+    Note: building the returned DataFrame runs phases 1/1b eagerly (the
+    bounded summary collect); only the recount stays lazy."""
     import math
 
     import pandas as pd
@@ -2382,19 +2399,56 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
         yield pd.DataFrame(
             {
                 "token": list(counts.keys()) + [None],
-                "n_part": [None] * len(counts) + [n_p],
+                "cnt": list(counts.values()) + [None],
+                "n_sub": [None] * len(counts) + [n_p],
             }
         )
 
-    summ = toks.mapInPandas(mg, schema="token string, n_part long").persist()
-    cands = summ.where(F.col("token").isNotNull()).select("token").distinct()
-    total = summ.agg(F.sum("n_part").alias("n"))
+    def mg_merge(batches):
+        # merge MG summaries: add counters per token, accumulate the
+        # exact subtotals, re-reduce to cap — mergeability keeps the
+        # global undercount <= N/(cap+1)
+        counts: dict = {}
+        n = 0
+        for b in batches:
+            for tok, c, ns in zip(b["token"], b["cnt"], b["n_sub"]):
+                if tok is None:
+                    n += int(ns)
+                else:
+                    counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > cap:
+                kth = sorted(counts.values(), reverse=True)[cap]
+                counts = {
+                    tk: c - kth for tk, c in counts.items() if c > kth
+                }
+        yield pd.DataFrame(
+            {
+                "token": list(counts.keys()) + [None],
+                "cnt": list(counts.values()) + [None],
+                "n_sub": [None] * len(counts) + [n],
+            }
+        )
+
+    schema = "token string, cnt long, n_sub long"
+    merged = (
+        toks.mapInPandas(mg, schema=schema)
+        .repartition(32)
+        .mapInPandas(mg_merge, schema=schema)
+        .repartition(1)
+        .mapInPandas(mg_merge, schema=schema)
+        .collect()
+    )
+    cand_tokens = [r["token"] for r in merged if r["token"] is not None]
+    n_total = sum(r["n_sub"] for r in merged if r["token"] is None)
+    thresh = math.ceil(n_total * phi)
+    cands = spark.createDataFrame(
+        [(c,) for c in cand_tokens], "token string"
+    )
     return (
         toks.join(F.broadcast(cands), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .where(F.col("cnt") >= F.ceil(F.col("n") * phi))
+        .where(F.col("cnt") >= F.lit(thresh))
         .select("token", "cnt")
     )
 
@@ -2428,9 +2482,12 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
 def dedup_substring_spans(spark, sf, w: int = 8):
     """Substring-level dedup (the train-data op from Lee et al. 2022,
     'Deduplicating Training Data Makes Language Models Better'): find,
-    per document, the MAXIMAL token spans whose every w-token window
-    also appears in at least one OTHER document — the spans an exact
-    substring deduplicator would cut, without a suffix array.
+    per document, the MAXIMAL token spans covered by the union of all
+    w-token windows that also appear in at least one OTHER document —
+    the spans an exact substring deduplicator would cut, without a
+    suffix array. (Union semantics: every TOKEN in a span lies inside
+    some cross-document-duplicated window; adjacent duplicated windows
+    merge, so not every w-window inside a span is itself duplicated.)
 
     Spark-first shape, three linear passes instead of suffix-array
     construction (which needs global sorts of every rotation):
@@ -2494,4 +2551,4 @@ def dedup_substring_spans(spark, sf, w: int = 8):
         F.min("pos").cast("int").alias("span_start"),
         (F.max("pos") + (w - 1)).cast("int").alias("span_end"),
         (F.max("pos") - F.min("pos") + w).cast("int").alias("n_dup_tokens"),
-    ).drop("isle").select("doc_id", "span_start", "span_end", "n_dup_tokens")
+    ).select("doc_id", "span_start", "span_end", "n_dup_tokens")
