@@ -73,6 +73,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
+    "dedup_substring_spans",
+    "heavy_hitters_tokens",
     "ann_topk_bruteforce",
     "ann_topk_arrow",
     "kmeans_lloyd",
