@@ -1,0 +1,266 @@
+"""Distributed structured-perceptron training for the emission model
+(Collins 2002; distributed batch form per McDonald et al. 2010's
+parameter-mixing family) — closes the train→score loop: the reference
+family of NER pipelines *trains* its CRF/maxent tagger, while this repo's
+model fixture is generated (ner_spark/nlp/model.py); this module learns
+the SAME (D, L) weight layout the production scorer broadcasts, from a
+distributed gold-tagged CoNLL corpus, so trained weights drop straight
+into ``detect_mentions``-style stages.
+
+Spark-first shape (scales to a 10^9-token corpus):
+
+- Per iteration, ONE ``mapInPandas`` pass over the sentence table decodes
+  every sentence with the current broadcast weights (the existing
+  vectorized tokenize → featurize → Viterbi kernel) and emits the
+  perceptron update SPARSE: only mistaken tokens contribute (feat, label,
+  ±1) rows, so the per-iteration shuffle shrinks as the model fits — by
+  the last iterations it is near-empty. A dense-gradient design would
+  shuffle D·L floats per partition per iteration (37 MB each) regardless
+  of fit.
+- The update aggregate is ``groupBy(i, j).sum(d)`` over INTEGER counts —
+  exact, so training is bit-deterministic for ANY partitioning of the
+  corpus (batch perceptron: decode against fixed weights, apply the
+  summed update once per iteration). Verified by
+  tests/test_train.py::test_training_is_partitioning_invariant.
+- Weights broadcast once per iteration (Spark torrent broadcast, ~38 MB
+  at D=2^20) and are destroyed after the pass; the collected update is
+  bounded by the mistake count, not the corpus.
+
+Transitions stay structural (BIO legality from the spec constants) — the
+standard CRF-decoding practice of constraining transitions while training
+emissions discriminatively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark import spec
+from ner_spark.nlp import vectorized as V
+
+_L = spec.L
+
+
+def structural_transitions() -> tuple[np.ndarray, np.ndarray]:
+    """Noise-free BIO-legality transition/start scores (the structural part
+    of ner_spark/nlp/model.py's fixture, without the fixture's seeded
+    noise — training starts from zero knowledge)."""
+    T = np.zeros((spec.L, spec.L), dtype=np.float32)
+    start = np.zeros(spec.L, dtype=np.float32)
+    for t in spec.NER_TYPES:
+        b, i = spec.LABEL_IDX[f"B-{t}"], spec.LABEL_IDX[f"I-{t}"]
+        T[:, i] = spec.TRANS_ILLEGAL
+        T[b, i] = spec.TRANS_SAME
+        T[i, i] = spec.TRANS_SAME
+        start[i] = spec.TRANS_ILLEGAL
+    return T, start
+
+
+def sentences_from_conll(conll: DataFrame) -> DataFrame:
+    """CoNLL token rows → one row per block: ordered token/gold arrays.
+
+    (file, doc_idx, sent_idx) is the block key emitted by
+    sources/conll.py; array_sort on (tok_idx, …) structs restores token
+    order without a window sort."""
+    return (
+        conll.groupBy("file", "doc_idx", "sent_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tok_idx", "token", "gold"))
+            ).alias("ts")
+        )
+        .select(
+            "file",
+            "doc_idx",
+            "sent_idx",
+            F.col("ts.token").alias("tokens"),
+            F.col("ts.gold").alias("golds"),
+        )
+    )
+
+
+def _batch_arrays(b: pd.DataFrame):
+    """One pandas batch of sentence rows → (tok dict, attrs, inv, gold ids).
+
+    Sentence text is the space-join of the block's tokens; TOKEN_RE
+    re-tokenizes a space-joined token list to exactly the same tokens
+    (every CoNLL token is itself \\w+ or a single non-word char), asserted
+    per batch so a drifted corpus fails loudly instead of mis-aligning
+    labels."""
+    texts = np.asarray([" ".join(ts) for ts in b["tokens"]], dtype=object)
+    gold = np.asarray(
+        [spec.LABEL_IDX[g] for gs in b["golds"] for g in gs], dtype=np.int64
+    )
+    tok = V.tokenize_batch(texts)
+    if len(tok["text"]) != len(gold):
+        raise ValueError(
+            f"token/label misalignment: re-tokenized {len(tok['text'])} "
+            f"vs {len(gold)} gold tags"
+        )
+    uniq, inv = np.unique(tok["text"], return_inverse=True)
+    attrs = V.unique_token_attrs(uniq)
+    return tok, attrs, inv, gold
+
+
+def _decode(tok, attrs, inv, WT, T, start, gaz):
+    h_lower_tok = attrs["h_lower"][inv]
+    gaz_code, gaz_bi = V.gaz_tag_batch(tok, h_lower_tok, gaz)
+    fidx = V.feature_indices_for_batch(tok, attrs, inv, gaz_code, gaz_bi)
+    em = V.emissions_from_indices(fidx, WT)
+    pred = V.viterbi_batch(em, tok["sent"], T, start)
+    return fidx, pred
+
+
+def train_perceptron(
+    spark: SparkSession,
+    sents: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    iters: int = 12,
+    lr: float = 0.1,
+) -> tuple[np.ndarray, list[dict]]:
+    """Fit emission weights on gold-tagged sentences; returns (WT, history).
+
+    WT is (D, L) float32 — the exact layout emissions_for_batch consumes,
+    so ``{"WT": WT, "T": T, "start": start}`` swaps into the production
+    broadcast. history has per-iteration {n_tok, n_mis, nnz_update}."""
+    sc = spark.sparkContext
+    T, start = structural_transitions()
+    bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
+    WT = np.zeros((spec.D, spec.L), dtype=np.float32)
+    data = sents.select("tokens", "golds")
+    history: list[dict] = []
+    for _ in range(iters):
+        bc_w = sc.broadcast(WT)
+
+        def step(batches, _w=bc_w, _g=bc_gaz):
+            acc: dict = {}
+            n_tok = 0
+            n_mis = 0
+            for b in batches:
+                if not len(b):
+                    continue
+                tok, attrs, inv, gold = _batch_arrays(b)
+                fidx, pred = _decode(
+                    tok, attrs, inv, _w.value, T, start, _g.value
+                )
+                n_tok += len(gold)
+                mis = pred != gold
+                n_mis += int(mis.sum())
+                if not mis.any():
+                    continue
+                fm = fidx[mis]
+                v = (fm >= 0).ravel()
+                ii = fm.ravel()[v]
+                jg = np.repeat(gold[mis], V.N_FEAT_COLS)[v]
+                jp = np.repeat(pred[mis], V.N_FEAT_COLS)[v]
+                keys = np.concatenate([ii * _L + jg, ii * _L + jp])
+                vals = np.concatenate(
+                    [
+                        np.ones(len(ii), dtype=np.int64),
+                        -np.ones(len(ii), dtype=np.int64),
+                    ]
+                )
+                uk, uinv = np.unique(keys, return_inverse=True)
+                sums = np.bincount(uinv, weights=vals).astype(np.int64)
+                for k, s in zip(uk.tolist(), sums.tolist()):
+                    if s:
+                        acc[k] = acc.get(k, 0) + s
+            rows = [(int(k) // _L, int(k) % _L, int(s)) for k, s in acc.items()]
+            rows.append((-1, 0, n_tok))
+            rows.append((-1, 1, n_mis))
+            yield pd.DataFrame(rows, columns=["i", "j", "d"])
+
+        upd = (
+            data.mapInPandas(step, schema="i long, j int, d long")
+            .groupBy("i", "j")
+            .agg(F.sum("d").alias("d"))
+            .collect()
+        )
+        bc_w.destroy()
+        stats = {"n_tok": 0, "n_mis": 0, "nnz_update": 0}
+        WT = WT.copy()
+        for r in upd:
+            if r["i"] < 0:
+                stats["n_tok" if r["j"] == 0 else "n_mis"] = int(r["d"])
+            elif r["d"]:
+                WT[r["i"], r["j"]] += lr * r["d"]
+                stats["nnz_update"] += 1
+        history.append(stats)
+        if stats["n_mis"] == 0:
+            break
+    bc_gaz.destroy()
+    return WT, history
+
+
+def evaluate_tagger(
+    spark: SparkSession,
+    sents: DataFrame,
+    WT: np.ndarray,
+    gazetteer_pdf: pd.DataFrame,
+) -> dict:
+    """Decode sentences with WT; token accuracy + span-level P/R/F1 vs the
+    gold BIO tags, aggregated distributively (per-partition counts, one
+    tiny collect)."""
+    sc = spark.sparkContext
+    T, start = structural_transitions()
+    bc_w = sc.broadcast(WT)
+    bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
+
+    def spans(labels: np.ndarray, sent: np.ndarray) -> set:
+        out = set()
+        labs = [spec.LABELS[i] for i in labels]
+        n = len(labs)
+        for i in range(n):
+            if labs[i].startswith("B-"):
+                typ = labs[i][2:]
+                j = i + 1
+                while (
+                    j < n and sent[j] == sent[i] and labs[j] == f"I-{typ}"
+                ):
+                    j += 1
+                out.add((int(sent[i]), i, j, typ))
+        return out
+
+    def step(batches, _w=bc_w, _g=bc_gaz):
+        n_tok = n_ok = n_gold = n_pred = n_match = 0
+        for b in batches:
+            if not len(b):
+                continue
+            tok, attrs, inv, gold = _batch_arrays(b)
+            fidx, pred = _decode(tok, attrs, inv, _w.value, T, start, _g.value)
+            n_tok += len(gold)
+            n_ok += int((pred == gold).sum())
+            gs = spans(gold, tok["sent"])
+            ps = spans(pred, tok["sent"])
+            n_gold += len(gs)
+            n_pred += len(ps)
+            n_match += len(gs & ps)
+        yield pd.DataFrame(
+            [[n_tok, n_ok, n_gold, n_pred, n_match]],
+            columns=["n_tok", "n_ok", "n_gold", "n_pred", "n_match"],
+        )
+
+    schema = "n_tok long, n_ok long, n_gold long, n_pred long, n_match long"
+    tot = (
+        sents.select("tokens", "golds")
+        .mapInPandas(step, schema=schema)
+        .groupBy()
+        .sum()
+        .collect()[0]
+    )
+    bc_w.destroy()
+    bc_gaz.destroy()
+    n_tok, n_ok, n_gold, n_pred, n_match = (tot[i] for i in range(5))
+    p = n_match / n_pred if n_pred else 0.0
+    r = n_match / n_gold if n_gold else 0.0
+    return {
+        "token_acc": n_ok / n_tok if n_tok else 0.0,
+        "precision": p,
+        "recall": r,
+        "f1": 2 * p * r / (p + r) if p + r else 0.0,
+        "n_tok": n_tok,
+        "n_gold_spans": n_gold,
+    }

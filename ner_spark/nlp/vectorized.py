@@ -270,6 +270,67 @@ def emissions_for_batch(
     return em
 
 
+# column count of feature_indices_for_batch: bias, word, shape, flag,
+# pre x3, suf x3, prev, next, gaz
+N_FEAT_COLS = 13
+
+
+def feature_indices_for_batch(
+    tok: dict[str, np.ndarray],
+    attrs: dict[str, np.ndarray],
+    inv: np.ndarray,
+    gaz_code: np.ndarray,
+    gaz_bi: np.ndarray,
+) -> np.ndarray:
+    """(n_tokens, N_FEAT_COLS) int64 feature-bucket indices, -1 = absent.
+
+    The SAME feature set emissions_for_batch scores — kept in lockstep by
+    tests/test_train.py::test_feature_indices_match_emissions, which
+    asserts sum(WT[indices]) == emissions_for_batch(WT) on a real batch.
+    emissions_for_batch stays hand-fused (the hot path skips gathering
+    absent features); this explicit index form is what training needs
+    (perceptron updates touch W rows by index)."""
+    n = len(inv)
+    out = np.full((n, N_FEAT_COLS), -1, dtype=np.int64)
+    h_lower = attrs["h_lower"][inv]
+    out[:, 0] = _BIAS_IDX
+    out[:, 1] = vfeat_index(spec.T_WORD, h_lower)
+    out[:, 2] = vfeat_index(spec.T_SHAPE, attrs["h_shape"][inv])
+    flag = attrs["flag"][inv]
+    fm = flag > 0
+    out[fm, 3] = _FLAG_IDX[flag[fm]]
+    for k in range(3):
+        out[:, 4 + k] = attrs["pre"][inv, k]
+        out[:, 7 + k] = attrs["suf"][inv, k]
+    sent = tok["sent"]
+    prev_h = np.empty(n, dtype=U64)
+    next_h = np.empty(n, dtype=U64)
+    prev_h[1:] = h_lower[:-1]
+    next_h[:-1] = h_lower[1:]
+    if n:
+        first = np.r_[True, sent[1:] != sent[:-1]]
+        last = np.r_[sent[1:] != sent[:-1], True]
+        prev_h[first] = _BOS_H
+        next_h[last] = _EOS_H
+    out[:, 10] = vfeat_index(spec.T_PREV, prev_h)
+    out[:, 11] = vfeat_index(spec.T_NEXT, next_h)
+    gm = gaz_code >= 0
+    if gm.any():
+        out[gm, 12] = _GAZ_IDX_ARR[
+            gaz_bi[gm].astype(np.int64), gaz_code[gm].astype(np.int64)
+        ]
+    return out
+
+
+def emissions_from_indices(fidx: np.ndarray, WT: np.ndarray) -> np.ndarray:
+    """(n, L) emission scores from explicit feature indices: the training-
+    path scorer. Equals emissions_for_batch by the lockstep test."""
+    valid = fidx >= 0
+    g = WT[np.where(valid, fidx, 0)]  # (n, F, L)
+    g[~valid] = 0.0
+    return g.sum(axis=1, dtype=np.float64)
+
+
 def gaz_tag_batch(tok: dict[str, np.ndarray], h_lower_tok: np.ndarray, gaz: GazMatcher):
     """Greedy longest-match gazetteer BIO per token.
 

@@ -304,3 +304,51 @@ def stream_transcript_source(spark, sf):
         )
         S._await_drained(q, "stream_transcript_source", 300)
     return spark.table("stream_transcript_source")
+
+
+@register("nlp_train_eval")
+def nlp_train_eval(spark, sf):
+    """A4+: distributed structured-perceptron training of the emission
+    model (ner_spark/nlp/train.py) — 12 iterations from zero weights on
+    the 80% hash-split of the tiny CoNLL corpus, evaluated on the 20%
+    held-out split. Returns one row per iteration (mistake curve) plus
+    the held-out metrics row.
+
+    Rows-only in the driver gate by design: the output is nevertheless
+    DETERMINISTIC for any partitioning (batch-perceptron updates are
+    exact integer sums — proven by
+    tests/test_train.py::test_training_is_partitioning_invariant), and
+    the quality bar (held-out span F1 >= 0.95 at full iteration count)
+    is enforced by tests/test_train.py::test_trained_tagger_beats_floor.
+    No DuckDB oracle exists because no independent single-process
+    trainer does — the pytest invariance + floor gates are the value
+    evidence."""
+    import os
+
+    import pandas as pd
+
+    from fixtures.gen import ensure_fixture_dir
+    from ner_spark.nlp.train import (
+        evaluate_tagger,
+        sentences_from_conll,
+        train_perceptron,
+    )
+    from ner_spark.sources.conll import read_conll, write_conll_fixture
+
+    path = "/root/repo/data/tiny/conll/eval.conll"
+    if not os.path.exists(path):
+        write_conll_fixture(path, "tiny")
+    d = ensure_fixture_dir("tiny")
+    gaz = pd.read_parquet(f"{d}/gazetteer.parquet")
+    sents = sentences_from_conll(read_conll(spark, path))
+    key = F.xxhash64("file", "doc_idx", "sent_idx")
+    train = sents.where(F.pmod(key, F.lit(10)) < 8)
+    held = sents.where(F.pmod(key, F.lit(10)) >= 8)
+    WT, hist = train_perceptron(spark, train, gaz, iters=12, lr=0.1)
+    m = evaluate_tagger(spark, held, WT, gaz)
+    rows = [
+        (f"iter_{i}", float(h["n_tok"]), float(h["n_mis"]))
+        for i, h in enumerate(hist)
+    ]
+    rows.append(("held_out", round(m["token_acc"], 6), round(m["f1"], 6)))
+    return spark.createDataFrame(rows, "phase string, a double, b double")

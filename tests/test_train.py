@@ -1,0 +1,97 @@
+"""Distributed structured-perceptron training (ner_spark/nlp/train.py):
+feature-path lockstep, partitioning-invariance, and a held-out quality
+floor on the tiny CoNLL fixture."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def conll_sents(spark):
+    from ner_spark.nlp.train import sentences_from_conll
+    from ner_spark.sources.conll import read_conll, write_conll_fixture
+
+    path = "/root/repo/data/tiny/conll/eval.conll"
+    if not os.path.exists(path):
+        write_conll_fixture(path, "tiny")
+    return sentences_from_conll(read_conll(spark, path))
+
+
+@pytest.fixture(scope="module")
+def gaz_pdf():
+    import pyarrow.parquet as pq
+
+    from fixtures.gen import ensure_fixture_dir
+
+    d = ensure_fixture_dir("tiny")
+    return pq.read_table(f"{d}/gazetteer.parquet").to_pandas()
+
+
+def test_feature_indices_match_emissions(gaz_pdf):
+    """The training path's explicit feature-index extraction must score
+    identically to the fused production scorer (emissions_for_batch) —
+    the lockstep gate that lets the two implementations coexist."""
+    from ner_spark.nlp import vectorized as V
+    from ner_spark.nlp.model import build_model
+
+    texts = np.asarray(
+        [
+            "Alice Smith visited Paris. ACME Corp hired her!",
+            "Dr. Bob and the IMF met in New York City on 2024-01-02.",
+            "",
+            "lowercase only sentence without entities .",
+        ],
+        dtype=object,
+    )
+    tok = V.tokenize_batch(texts)
+    uniq, inv = np.unique(tok["text"], return_inverse=True)
+    attrs = V.unique_token_attrs(uniq)
+    h_lower_tok = attrs["h_lower"][inv]
+    gaz = V.GazMatcher(gaz_pdf)
+    gaz_code, gaz_bi = V.gaz_tag_batch(tok, h_lower_tok, gaz)
+    WT = np.ascontiguousarray(build_model()["W"].T)
+    want = V.emissions_for_batch(tok, attrs, inv, gaz_code, gaz_bi, WT)
+    fidx = V.feature_indices_for_batch(tok, attrs, inv, gaz_code, gaz_bi)
+    got = V.emissions_from_indices(fidx, WT)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_training_is_partitioning_invariant(spark, conll_sents, gaz_pdf):
+    """Batch-perceptron updates are exact integer sums, so two different
+    partitionings of the same corpus must train to bit-identical
+    weights."""
+    from ner_spark.nlp.train import train_perceptron
+
+    w_a, h_a = train_perceptron(
+        spark, conll_sents.repartition(3), gaz_pdf, iters=2
+    )
+    w_b, h_b = train_perceptron(
+        spark, conll_sents.repartition(17), gaz_pdf, iters=2
+    )
+    assert h_a == h_b
+    assert np.array_equal(w_a, w_b)
+
+
+def test_trained_tagger_beats_floor(spark, conll_sents, gaz_pdf):
+    """Training from ZERO weights on 80% of the tiny corpus must converge
+    (mistakes drop below 1% of tokens) and tag the held-out 20% above the
+    north rule's bar: span F1 >= 0.95, token accuracy >= 0.98.
+    (Measured at authoring time: train 2853 -> 8 mistakes over 12
+    iterations; held-out F1 0.977, token acc 0.997.)"""
+    from ner_spark.nlp.train import evaluate_tagger, train_perceptron
+
+    key = F.xxhash64("file", "doc_idx", "sent_idx")
+    train = conll_sents.where(F.pmod(key, F.lit(10)) < 8)
+    held = conll_sents.where(F.pmod(key, F.lit(10)) >= 8)
+    WT, hist = train_perceptron(spark, train, gaz_pdf, iters=12, lr=0.1)
+    assert hist[-1]["n_mis"] < 0.01 * hist[-1]["n_tok"]
+    assert hist[-1]["n_mis"] < 0.05 * hist[0]["n_mis"]
+    m = evaluate_tagger(spark, held, WT, gaz_pdf)
+    assert m["n_gold_spans"] > 20  # non-vacuous held-out set
+    assert m["token_acc"] >= 0.98
+    assert m["f1"] >= 0.95
