@@ -18,6 +18,19 @@ import numpy as np
 from ner_spark import spec
 
 
+def apply_structural(T: np.ndarray, start: np.ndarray) -> None:
+    """Overwrite (T, start) in place with the BIO-legality constraints —
+    the single source of the structural transition semantics, shared by
+    the generated fixture below and the trainer
+    (ner_spark/nlp/train.py.structural_transitions)."""
+    for t in spec.NER_TYPES:
+        b, i = spec.LABEL_IDX[f"B-{t}"], spec.LABEL_IDX[f"I-{t}"]
+        T[:, i] = spec.TRANS_ILLEGAL          # I-X reachable only from B-X/I-X
+        T[b, i] = spec.TRANS_SAME
+        T[i, i] = spec.TRANS_SAME
+        start[i] = spec.TRANS_ILLEGAL         # sentence cannot start with I-X
+
+
 @lru_cache(maxsize=1)
 def build_model() -> dict[str, np.ndarray]:
     """Return {'W': (L, D) float32 emissions, 'T': (L, L) float32 transitions,
@@ -44,10 +57,5 @@ def build_model() -> dict[str, np.ndarray]:
 
     T = rng.normal(0.0, spec.NOISE_SCALE, size=(spec.L, spec.L)).astype(np.float32)
     start = rng.normal(0.0, spec.NOISE_SCALE, size=(spec.L,)).astype(np.float32)
-    for t in spec.NER_TYPES:
-        b, i = spec.LABEL_IDX[f"B-{t}"], spec.LABEL_IDX[f"I-{t}"]
-        T[:, i] = spec.TRANS_ILLEGAL          # I-X reachable only from B-X/I-X
-        T[b, i] = spec.TRANS_SAME
-        T[i, i] = spec.TRANS_SAME
-        start[i] = spec.TRANS_ILLEGAL         # sentence cannot start with I-X
+    apply_structural(T, start)
     return {"W": W, "T": T, "start": start}

@@ -45,17 +45,14 @@ _L = spec.L
 
 
 def structural_transitions() -> tuple[np.ndarray, np.ndarray]:
-    """Noise-free BIO-legality transition/start scores (the structural part
-    of ner_spark/nlp/model.py's fixture, without the fixture's seeded
-    noise — training starts from zero knowledge)."""
+    """Noise-free BIO-legality transition/start scores (the fixture's
+    structural part without its seeded noise — training starts from zero
+    knowledge). Single-sourced via model.apply_structural."""
+    from ner_spark.nlp.model import apply_structural
+
     T = np.zeros((spec.L, spec.L), dtype=np.float32)
     start = np.zeros(spec.L, dtype=np.float32)
-    for t in spec.NER_TYPES:
-        b, i = spec.LABEL_IDX[f"B-{t}"], spec.LABEL_IDX[f"I-{t}"]
-        T[:, i] = spec.TRANS_ILLEGAL
-        T[b, i] = spec.TRANS_SAME
-        T[i, i] = spec.TRANS_SAME
-        start[i] = spec.TRANS_ILLEGAL
+    apply_structural(T, start)
     return T, start
 
 
@@ -85,21 +82,31 @@ def sentences_from_conll(conll: DataFrame) -> DataFrame:
 def _batch_arrays(b: pd.DataFrame):
     """One pandas batch of sentence rows → (tok dict, attrs, inv, gold ids).
 
-    Sentence text is the space-join of the block's tokens; TOKEN_RE
-    re-tokenizes a space-joined token list to exactly the same tokens
-    (every CoNLL token is itself \\w+ or a single non-word char), asserted
-    per batch so a drifted corpus fails loudly instead of mis-aligning
-    labels."""
-    texts = np.asarray([" ".join(ts) for ts in b["tokens"]], dtype=object)
+    Each CoNLL block is taken AS the sequence unit (the standard CoNLL
+    convention): tokens are used verbatim — no text re-join and no
+    re-tokenization, so labels align 1:1 by construction. Re-joining
+    tokens with spaces and re-running SENT_SPLIT_RE would manufacture
+    phantom sentence boundaries the original text never had ('good!!'
+    tokenizes to '!','!' with no interior split, but 'good ! !' splits
+    after the first '!'), silently shifting prev/next BOS/EOS features;
+    block-as-unit is exact and deterministic instead."""
+    counts = np.asarray([len(ts) for ts in b["tokens"]], dtype=np.int64)
     gold = np.asarray(
         [spec.LABEL_IDX[g] for gs in b["golds"] for g in gs], dtype=np.int64
     )
-    tok = V.tokenize_batch(texts)
-    if len(tok["text"]) != len(gold):
-        raise ValueError(
-            f"token/label misalignment: re-tokenized {len(tok['text'])} "
-            f"vs {len(gold)} gold tags"
-        )
+    row = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    # hard-split over-long blocks at MAX_SENT_LEN, same as the production
+    # tokenizer's chunking, so Viterbi padding stays bounded
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    chunk = (np.arange(len(row)) - starts) // spec.MAX_SENT_LEN
+    _, sent = np.unique(row * (1 << 20) + chunk, return_inverse=True)
+    tok = {
+        "row": row,
+        "sent": sent,
+        "text": np.asarray(
+            [t for ts in b["tokens"] for t in ts], dtype=object
+        ),
+    }
     uniq, inv = np.unique(tok["text"], return_inverse=True)
     attrs = V.unique_token_attrs(uniq)
     return tok, attrs, inv, gold
@@ -125,74 +132,97 @@ def train_perceptron(
 
     WT is (D, L) float32 — the exact layout emissions_for_batch consumes,
     so ``{"WT": WT, "T": T, "start": start}`` swaps into the production
-    broadcast. history has per-iteration {n_tok, n_mis, nnz_update}."""
+    broadcast. history has per-iteration {n_tok, n_mis, nnz_update}.
+    ``gazetteer_pdf`` may also be a prebuilt GazMatcher (reused by
+    evaluate_tagger callers)."""
     sc = spark.sparkContext
     T, start = structural_transitions()
-    bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
+    bc_gaz = sc.broadcast(_matcher(gazetteer_pdf))
     WT = np.zeros((spec.D, spec.L), dtype=np.float32)
-    data = sents.select("tokens", "golds")
+    # persist: every iteration re-executes this plan (file read, CoNLL
+    # parse, groupBy, array_sort) without it
+    data = sents.select("tokens", "golds").persist()
     history: list[dict] = []
-    for _ in range(iters):
-        bc_w = sc.broadcast(WT)
-
-        def step(batches, _w=bc_w, _g=bc_gaz):
-            acc: dict = {}
-            n_tok = 0
-            n_mis = 0
-            for b in batches:
-                if not len(b):
-                    continue
-                tok, attrs, inv, gold = _batch_arrays(b)
-                fidx, pred = _decode(
-                    tok, attrs, inv, _w.value, T, start, _g.value
+    try:
+        for _ in range(iters):
+            bc_w = sc.broadcast(WT)
+            try:
+                upd = (
+                    data.mapInPandas(
+                        _step_fn(bc_w, bc_gaz, T, start),
+                        schema="i long, j int, d long",
+                    )
+                    .groupBy("i", "j")
+                    .agg(F.sum("d").alias("d"))
+                    .collect()
                 )
-                n_tok += len(gold)
-                mis = pred != gold
-                n_mis += int(mis.sum())
-                if not mis.any():
-                    continue
-                fm = fidx[mis]
-                v = (fm >= 0).ravel()
-                ii = fm.ravel()[v]
-                jg = np.repeat(gold[mis], V.N_FEAT_COLS)[v]
-                jp = np.repeat(pred[mis], V.N_FEAT_COLS)[v]
-                keys = np.concatenate([ii * _L + jg, ii * _L + jp])
-                vals = np.concatenate(
-                    [
-                        np.ones(len(ii), dtype=np.int64),
-                        -np.ones(len(ii), dtype=np.int64),
-                    ]
-                )
-                uk, uinv = np.unique(keys, return_inverse=True)
-                sums = np.bincount(uinv, weights=vals).astype(np.int64)
-                for k, s in zip(uk.tolist(), sums.tolist()):
-                    if s:
-                        acc[k] = acc.get(k, 0) + s
-            rows = [(int(k) // _L, int(k) % _L, int(s)) for k, s in acc.items()]
-            rows.append((-1, 0, n_tok))
-            rows.append((-1, 1, n_mis))
-            yield pd.DataFrame(rows, columns=["i", "j", "d"])
-
-        upd = (
-            data.mapInPandas(step, schema="i long, j int, d long")
-            .groupBy("i", "j")
-            .agg(F.sum("d").alias("d"))
-            .collect()
-        )
-        bc_w.destroy()
-        stats = {"n_tok": 0, "n_mis": 0, "nnz_update": 0}
-        WT = WT.copy()
-        for r in upd:
-            if r["i"] < 0:
-                stats["n_tok" if r["j"] == 0 else "n_mis"] = int(r["d"])
-            elif r["d"]:
-                WT[r["i"], r["j"]] += lr * r["d"]
-                stats["nnz_update"] += 1
-        history.append(stats)
-        if stats["n_mis"] == 0:
-            break
-    bc_gaz.destroy()
+            finally:
+                bc_w.destroy()
+            stats = {"n_tok": 0, "n_mis": 0, "nnz_update": 0}
+            WT = WT.copy()
+            for r in upd:
+                if r["i"] < 0:
+                    stats["n_tok" if r["j"] == 0 else "n_mis"] = int(r["d"])
+                elif r["d"]:
+                    WT[r["i"], r["j"]] += lr * r["d"]
+                    stats["nnz_update"] += 1
+            history.append(stats)
+            if stats["n_mis"] == 0:
+                break
+    finally:
+        bc_gaz.destroy()
+        data.unpersist()
     return WT, history
+
+
+def _matcher(gaz) -> "V.GazMatcher":
+    return gaz if isinstance(gaz, V.GazMatcher) else V.GazMatcher(gaz)
+
+
+def _step_fn(bc_w, bc_gaz, T, start):
+    """One training iteration's executor function: decode with the
+    broadcast weights, emit the sparse perceptron update plus the
+    (i=-1) token/mistake sentinel rows."""
+
+    def step(batches):
+        acc: dict = {}
+        n_tok = 0
+        n_mis = 0
+        for b in batches:
+            if not len(b):
+                continue
+            tok, attrs, inv, gold = _batch_arrays(b)
+            fidx, pred = _decode(
+                tok, attrs, inv, bc_w.value, T, start, bc_gaz.value
+            )
+            n_tok += len(gold)
+            mis = pred != gold
+            n_mis += int(mis.sum())
+            if not mis.any():
+                continue
+            fm = fidx[mis]
+            v = (fm >= 0).ravel()
+            ii = fm.ravel()[v]
+            jg = np.repeat(gold[mis], V.N_FEAT_COLS)[v]
+            jp = np.repeat(pred[mis], V.N_FEAT_COLS)[v]
+            keys = np.concatenate([ii * _L + jg, ii * _L + jp])
+            vals = np.concatenate(
+                [
+                    np.ones(len(ii), dtype=np.int64),
+                    -np.ones(len(ii), dtype=np.int64),
+                ]
+            )
+            uk, uinv = np.unique(keys, return_inverse=True)
+            sums = np.bincount(uinv, weights=vals).astype(np.int64)
+            for k, s in zip(uk.tolist(), sums.tolist()):
+                if s:
+                    acc[k] = acc.get(k, 0) + s
+        rows = [(int(k) // _L, int(k) % _L, int(s)) for k, s in acc.items()]
+        rows.append((-1, 0, n_tok))
+        rows.append((-1, 1, n_mis))
+        yield pd.DataFrame(rows, columns=["i", "j", "d"])
+
+    return step
 
 
 def evaluate_tagger(
@@ -207,22 +237,7 @@ def evaluate_tagger(
     sc = spark.sparkContext
     T, start = structural_transitions()
     bc_w = sc.broadcast(WT)
-    bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
-
-    def spans(labels: np.ndarray, sent: np.ndarray) -> set:
-        out = set()
-        labs = [spec.LABELS[i] for i in labels]
-        n = len(labs)
-        for i in range(n):
-            if labs[i].startswith("B-"):
-                typ = labs[i][2:]
-                j = i + 1
-                while (
-                    j < n and sent[j] == sent[i] and labs[j] == f"I-{typ}"
-                ):
-                    j += 1
-                out.add((int(sent[i]), i, j, typ))
-        return out
+    bc_gaz = sc.broadcast(_matcher(gazetteer_pdf))
 
     def step(batches, _w=bc_w, _g=bc_gaz):
         n_tok = n_ok = n_gold = n_pred = n_match = 0
@@ -233,8 +248,8 @@ def evaluate_tagger(
             fidx, pred = _decode(tok, attrs, inv, _w.value, T, start, _g.value)
             n_tok += len(gold)
             n_ok += int((pred == gold).sum())
-            gs = spans(gold, tok["sent"])
-            ps = spans(pred, tok["sent"])
+            gs = _bio_spans(gold, tok["sent"])
+            ps = _bio_spans(pred, tok["sent"])
             n_gold += len(gs)
             n_pred += len(ps)
             n_match += len(gs & ps)
@@ -244,15 +259,17 @@ def evaluate_tagger(
         )
 
     schema = "n_tok long, n_ok long, n_gold long, n_pred long, n_match long"
-    tot = (
-        sents.select("tokens", "golds")
-        .mapInPandas(step, schema=schema)
-        .groupBy()
-        .sum()
-        .collect()[0]
-    )
-    bc_w.destroy()
-    bc_gaz.destroy()
+    try:
+        tot = (
+            sents.select("tokens", "golds")
+            .mapInPandas(step, schema=schema)
+            .groupBy()
+            .sum()
+            .collect()[0]
+        )
+    finally:
+        bc_w.destroy()
+        bc_gaz.destroy()
     n_tok, n_ok, n_gold, n_pred, n_match = (tot[i] for i in range(5))
     p = n_match / n_pred if n_pred else 0.0
     r = n_match / n_gold if n_gold else 0.0
@@ -263,4 +280,30 @@ def evaluate_tagger(
         "f1": 2 * p * r / (p + r) if p + r else 0.0,
         "n_tok": n_tok,
         "n_gold_spans": n_gold,
+    }
+
+
+def _bio_spans(labels: np.ndarray, sent: np.ndarray) -> set:
+    """Vectorized BIO span extraction: {(sent, start, end, type_idx)} for
+    every maximal B-X I-X* run (the numpy run-boundary pattern from
+    decode_mentions — no per-token python loop). In the label alphabet
+    B-X ids are odd, the matching I-X id is B+1, O is 0."""
+    n = len(labels)
+    if n == 0:
+        return set()
+    is_b = labels % 2 == 1
+    exp = labels + (labels % 2)  # B-X -> its I-X id; I-X -> itself; O -> 0
+    cont = np.zeros(n, dtype=bool)
+    cont[1:] = (
+        (labels[1:] > 0)
+        & (labels[1:] % 2 == 0)
+        & (labels[1:] == exp[:-1])
+        & (sent[1:] == sent[:-1])
+    )
+    brk = np.flatnonzero(~cont)
+    starts = np.flatnonzero(is_b)
+    ends = np.append(brk, n)[np.searchsorted(brk, starts, side="right")]
+    return {
+        (int(sent[s]), int(s), int(e), int((labels[s] - 1) // 2))
+        for s, e in zip(starts, ends)
     }

@@ -223,6 +223,39 @@ _GAZ_IDX_ARR = np.asarray(
 _O = spec.LABEL_IDX["O"]
 
 
+def _prev_next_hashes(
+    h_lower: np.ndarray, sent: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-token previous/next lowercase-token hashes with BOS/EOS at
+    sentence boundaries — shared by the fused scorer and the training
+    path's explicit-index extraction so the boundary semantics cannot
+    drift between them."""
+    n = len(h_lower)
+    prev_h = np.empty(n, dtype=U64)
+    next_h = np.empty(n, dtype=U64)
+    prev_h[1:] = h_lower[:-1]
+    next_h[:-1] = h_lower[1:]
+    if n:
+        first = np.r_[True, sent[1:] != sent[:-1]]
+        last = np.r_[sent[1:] != sent[:-1], True]
+        prev_h[first] = _BOS_H
+        next_h[last] = _EOS_H
+    return prev_h, next_h
+
+
+def _gaz_feature_gather(
+    gaz_code: np.ndarray, gaz_bi: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mask, bucket indices for the masked tokens) of the gazetteer BIO
+    membership feature — shared by scorer and trainer."""
+    gm = gaz_code >= 0
+    if not gm.any():
+        return gm, np.empty(0, dtype=np.int64)
+    return gm, _GAZ_IDX_ARR[
+        gaz_bi[gm].astype(np.int64), gaz_code[gm].astype(np.int64)
+    ]
+
+
 def emissions_for_batch(
     tok: dict[str, np.ndarray],
     attrs: dict[str, np.ndarray],
@@ -248,24 +281,11 @@ def emissions_for_batch(
             m = col >= 0
             if m.any():
                 em[m] += WT[col[m]]
-    # prev/next within sentence
-    sent = tok["sent"]
-    prev_h = np.empty(n, dtype=U64)
-    next_h = np.empty(n, dtype=U64)
-    prev_h[1:] = h_lower[:-1]
-    next_h[:-1] = h_lower[1:]
-    if n:
-        first = np.r_[True, sent[1:] != sent[:-1]]
-        last = np.r_[sent[1:] != sent[:-1], True]
-        prev_h[first] = _BOS_H
-        next_h[last] = _EOS_H
+    prev_h, next_h = _prev_next_hashes(h_lower, tok["sent"])
     em += WT[vfeat_index(spec.T_PREV, prev_h)]
     em += WT[vfeat_index(spec.T_NEXT, next_h)]
-    gm = gaz_code >= 0
+    gm, gidx = _gaz_feature_gather(gaz_code, gaz_bi)
     if gm.any():
-        gidx = _GAZ_IDX_ARR[
-            gaz_bi[gm].astype(np.int64), gaz_code[gm].astype(np.int64)
-        ]
         em[gm] += WT[gidx]
     return em
 
@@ -302,23 +322,12 @@ def feature_indices_for_batch(
     for k in range(3):
         out[:, 4 + k] = attrs["pre"][inv, k]
         out[:, 7 + k] = attrs["suf"][inv, k]
-    sent = tok["sent"]
-    prev_h = np.empty(n, dtype=U64)
-    next_h = np.empty(n, dtype=U64)
-    prev_h[1:] = h_lower[:-1]
-    next_h[:-1] = h_lower[1:]
-    if n:
-        first = np.r_[True, sent[1:] != sent[:-1]]
-        last = np.r_[sent[1:] != sent[:-1], True]
-        prev_h[first] = _BOS_H
-        next_h[last] = _EOS_H
+    prev_h, next_h = _prev_next_hashes(h_lower, tok["sent"])
     out[:, 10] = vfeat_index(spec.T_PREV, prev_h)
     out[:, 11] = vfeat_index(spec.T_NEXT, next_h)
-    gm = gaz_code >= 0
+    gm, gidx = _gaz_feature_gather(gaz_code, gaz_bi)
     if gm.any():
-        out[gm, 12] = _GAZ_IDX_ARR[
-            gaz_bi[gm].astype(np.int64), gaz_code[gm].astype(np.int64)
-        ]
+        out[gm, 12] = gidx
     return out
 
 

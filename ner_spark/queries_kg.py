@@ -179,14 +179,9 @@ def conll_ingest(spark, sf):
     """A2: CoNLL corpus scan — file-grain mapInPandas block parser over a
     deterministic eval corpus generated from the oracle's gold mentions
     (rows-only; exact-value-tested in tests/test_conll_eval.py)."""
-    import os
+    from ner_spark.sources.conll import ensure_conll_fixture, read_conll
 
-    from ner_spark.sources.conll import read_conll, write_conll_fixture
-
-    path = "/root/repo/data/tiny/conll/eval.conll"
-    if not os.path.exists(path):
-        write_conll_fixture(path, "tiny")
-    return read_conll(spark, path).drop("file")
+    return read_conll(spark, ensure_conll_fixture("tiny")).drop("file")
 
 
 @register("kg_eval_prf")
@@ -323,8 +318,6 @@ def nlp_train_eval(spark, sf):
     No DuckDB oracle exists because no independent single-process
     trainer does — the pytest invariance + floor gates are the value
     evidence."""
-    import os
-
     import pandas as pd
 
     from fixtures.gen import ensure_fixture_dir
@@ -333,11 +326,9 @@ def nlp_train_eval(spark, sf):
         sentences_from_conll,
         train_perceptron,
     )
-    from ner_spark.sources.conll import read_conll, write_conll_fixture
+    from ner_spark.sources.conll import ensure_conll_fixture, read_conll
 
-    path = "/root/repo/data/tiny/conll/eval.conll"
-    if not os.path.exists(path):
-        write_conll_fixture(path, "tiny")
+    path = ensure_conll_fixture("tiny")
     d = ensure_fixture_dir("tiny")
     gaz = pd.read_parquet(f"{d}/gazetteer.parquet")
     sents = sentences_from_conll(read_conll(spark, path))

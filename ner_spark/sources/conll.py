@@ -70,6 +70,16 @@ def parse_conll_text(fname: str, text: str) -> list[tuple]:
     return rows
 
 
+def ensure_conll_fixture(size: str = "tiny") -> str:
+    """Idempotent materialize-on-demand of the CoNLL eval corpus; the
+    single owner of its on-disk location (shared by conll_ingest,
+    nlp_train_eval, tests, and the golden generator)."""
+    path = f"/root/repo/data/{size}/conll/eval.conll"
+    if not os.path.exists(path):
+        write_conll_fixture(path, size)
+    return path
+
+
 def write_conll_fixture(out_path: str, size: str = "small") -> str:
     """Deterministic CoNLL eval corpus from the oracle pipeline's gold
     mentions over the transcript fixture: one document per conversation,

@@ -4,8 +4,6 @@ floor on the tiny CoNLL fixture."""
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -14,12 +12,9 @@ from pyspark.sql import functions as F
 @pytest.fixture(scope="module")
 def conll_sents(spark):
     from ner_spark.nlp.train import sentences_from_conll
-    from ner_spark.sources.conll import read_conll, write_conll_fixture
+    from ner_spark.sources.conll import ensure_conll_fixture, read_conll
 
-    path = "/root/repo/data/tiny/conll/eval.conll"
-    if not os.path.exists(path):
-        write_conll_fixture(path, "tiny")
-    return sentences_from_conll(read_conll(spark, path))
+    return sentences_from_conll(read_conll(spark, ensure_conll_fixture("tiny")))
 
 
 @pytest.fixture(scope="module")
@@ -81,7 +76,7 @@ def test_trained_tagger_beats_floor(spark, conll_sents, gaz_pdf):
     """Training from ZERO weights on 80% of the tiny corpus must converge
     (mistakes drop below 1% of tokens) and tag the held-out 20% above the
     north rule's bar: span F1 >= 0.95, token accuracy >= 0.98.
-    (Measured at authoring time: train 2853 -> 8 mistakes over 12
+    (Measured at authoring time: train 2901 -> 7 mistakes over 12
     iterations; held-out F1 0.977, token acc 0.997.)"""
     from ner_spark.nlp.train import evaluate_tagger, train_perceptron
 
