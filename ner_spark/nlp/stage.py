@@ -37,28 +37,40 @@ TOKENS_SCHEMA = (
 _TYPES = np.array(spec.NER_TYPES, dtype=object)
 
 
-def _broadcasts(spark: SparkSession, gazetteer_pdf: pd.DataFrame):
+def _broadcasts(
+    spark: SparkSession,
+    gazetteer_pdf: pd.DataFrame,
+    model: dict | None = None,
+):
     sc = spark.sparkContext
-    model = build_model()
-    bc_model = sc.broadcast(
-        {
-            "WT": np.ascontiguousarray(model["W"].T),
-            "T": model["T"],
-            "start": model["start"],
+    if model is None:
+        m = build_model()
+        model = {
+            "WT": np.ascontiguousarray(m["W"].T),
+            "T": m["T"],
+            "start": m["start"],
         }
-    )
+    bc_model = sc.broadcast(model)
     bc_gaz = sc.broadcast(V.GazMatcher(gazetteer_pdf))
     return bc_model, bc_gaz
 
 
 def detect_mentions(
-    transcripts: DataFrame, gazetteer_pdf: pd.DataFrame, spark: SparkSession
+    transcripts: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    spark: SparkSession,
+    model: dict | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) → mentions DataFrame.
 
     Column-prunes to the three needed columns before the Arrow boundary
-    (mapInPandas is an optimization barrier — SURVEY.md §4.2)."""
-    bc_model, bc_gaz = _broadcasts(spark, gazetteer_pdf)
+    (mapInPandas is an optimization barrier — SURVEY.md §4.2).
+
+    ``model`` optionally overrides the generated fixture weights with a
+    {"WT", "T", "start"} dict — e.g. perceptron-trained weights from
+    ner_spark/nlp/train.py (same (D, L) layout); None keeps the
+    fixture."""
+    bc_model, bc_gaz = _broadcasts(spark, gazetteer_pdf, model)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc_model.value
