@@ -604,6 +604,9 @@ def main() -> None:
     # pair) keep 1 cpu/task.
     task_cpus = kg_task_cpus(a.master)
     kg_extra = {"spark.task.cpus": task_cpus} if task_cpus != "1" else {}
+    # no console progress bar: its \r[Stage …] lines share stdout with the
+    # final JSON line and can push it past the driver's output-tail window
+    kg_extra["spark.ui.showConsoleProgress"] = "false"
     spark = get_spark(master=a.master, app="ner-spark-bench", extra=kg_extra)
     timings: dict[str, float] = {}
 
@@ -716,7 +719,10 @@ def main() -> None:
         # comparisons against --kg-only runs that never restart
         t_r = time.perf_counter()
         spark.stop()
-        spark = get_spark(master=a.master, app="ner-spark-bench")
+        spark = get_spark(
+            master=a.master, app="ner-spark-bench",
+            extra={"spark.ui.showConsoleProgress": "false"},
+        )
         restart_sec = round(time.perf_counter() - t_r, 3)
 
     cur = None
@@ -760,20 +766,52 @@ def main() -> None:
         "master": a.master or f"local[{CPUS}]",
     }
     # attach the last recorded north-rule scaling summary (written by
-    # `python bench.py --scaling`, ~35 min at scale3) so the per-round
-    # JSON carries the N-vs-4N evidence without re-running the ladder
+    # `python bench.py --scaling`, ~35 min at scale3) as COMPACT SCALARS
+    # only. Round-4 lesson (VERDICT r04 "What's wrong" #1): inlining the
+    # full scaling.json blob (with its two per-stage breakdowns) grew the
+    # final stdout line past the driver's output-tail window, so the
+    # driver recorded "parsed": null. The full payload stays in
+    # BENCH/scaling.json, referenced by path.
     scaling_json = os.path.join(_ROOT, "BENCH", "scaling.json")
     if os.path.exists(scaling_json):
         try:
             with open(scaling_json) as f:
-                result["scaling"] = json.load(f)
-        except (OSError, ValueError):
+                sc = json.load(f)
+            per_cfg = {
+                k: v["turns_per_sec"]
+                for k, v in sc.items()
+                if isinstance(v, dict) and "turns_per_sec" in v
+            }
+            result["scaling"] = {
+                "metric": sc.get("metric"),
+                "efficiency": sc.get("value"),
+                "turns_per_sec": per_cfg,
+                "size": sc.get("size"),
+                "detail": "BENCH/scaling.json",
+            }
+        except (OSError, ValueError, KeyError, TypeError):
             pass
-    line = json.dumps(result)
+    # full record → --json-out (run_scaling reads ["kg"] from it) and a
+    # committed per-round snapshot; stdout's FINAL line is the compact
+    # driver contract (metric/value/unit/queries/sf + scalar extras)
+    full = dict(result)
+    compact = dict(result)
+    compact["kg"] = {
+        k: kg[k] for k in ("turns", "triples", "sec", "turns_per_sec",
+                           "triples_per_sec")
+    }
+    if skg:
+        compact["stream_kg"] = {
+            k: skg[k] for k in ("rows", "sec", "rows_per_sec",
+                                "steady_rows_per_sec")
+        }
     if a.json_out:
         with open(a.json_out, "w") as f:
-            f.write(line)
-    print(line)
+            f.write(json.dumps(full))
+    os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(_ROOT, "BENCH", "last_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact))
     spark.stop()
 
 

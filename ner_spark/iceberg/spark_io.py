@@ -863,52 +863,56 @@ def compact_iceberg_partitions(
     seq = md["last-sequence-number"] + 1
     commit_dir = os.path.join(_data_dir(location), f"seq={seq}")
     df, spec_names = _partition_projection(t, md, df)
-    if sort_by:
-        # sort-ordered rewrite: range-cluster so each rewritten
-        # partition's files cover DISJOINT sort-key ranges, then sort
-        # within files — the harvested min/max bounds become tight and a
-        # range probe on the sort column prunes at FILE level (Iceberg's
-        # sort-order rewrite). Worth it for the columns hot range probes
-        # name; plain binpack otherwise.
-        keys = list(spec_names or []) + list(sort_by)
-        df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
-    elif zorder_by:
-        # z-order rewrite: range-cluster + sort on the Morton code so
-        # each file covers a compact hyper-rectangle of the combined key
-        # space — min/max bounds prune probes on EITHER column. The
-        # clustering column is derived (boundary sampling reads the
-        # rewrite input once per z column, bounded collect) and dropped
-        # before the write; only its ordering survives, as file layout.
-        # The input is persisted first: sampling scans it twice per z
-        # column (distinct estimate + boundary collect) and the range
-        # partitioner samples it again — without the persist each pass
-        # re-runs the file scan AND the MOR delete application.
-        zin = df.persist()
-        zc = "__zorder__"
-        while zc in zin.columns:  # never clobber a real table column
-            zc += "_"
-        df = zin.withColumn(
-            zc,
-            zorder_column(zin, list(zorder_by), bits=zorder_bits),
-        )
-        keys = list(spec_names or []) + [zc]
-        df = (
-            df.repartitionByRange(n_out, *keys)
-            .sortWithinPartitions(*keys)
-            .drop(zc)
-        )
-    elif spec_names:
-        # hash-cluster on the partition columns so each rewritten
-        # partition binpacks into its own task → one output file per
-        # small partition (a bare coalesce interleaves partitions across
-        # tasks and EXPANDS the file count it is meant to shrink)
-        df = df.repartition(n_out, *spec_names)
-    else:
-        df = df.coalesce(n_out)
+    zin = None
     try:
+        if sort_by:
+            # sort-ordered rewrite: range-cluster so each rewritten
+            # partition's files cover DISJOINT sort-key ranges, then sort
+            # within files — the harvested min/max bounds become tight and a
+            # range probe on the sort column prunes at FILE level (Iceberg's
+            # sort-order rewrite). Worth it for the columns hot range probes
+            # name; plain binpack otherwise.
+            keys = list(spec_names or []) + list(sort_by)
+            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        elif zorder_by:
+            # z-order rewrite: range-cluster + sort on the Morton code so
+            # each file covers a compact hyper-rectangle of the combined key
+            # space — min/max bounds prune probes on EITHER column. The
+            # clustering column is derived (boundary sampling reads the
+            # rewrite input once per z column, bounded collect) and dropped
+            # before the write; only its ordering survives, as file layout.
+            # The input is persisted first: sampling scans it twice per z
+            # column (distinct estimate + boundary collect) and the range
+            # partitioner samples it again — without the persist each pass
+            # re-runs the file scan AND the MOR delete application. The
+            # try/finally starts BEFORE the sampling/withColumn work so a
+            # raise there (e.g. the bit-budget ValueError) cannot leak the
+            # persisted input in the cache.
+            zin = df.persist()
+            zc = "__zorder__"
+            while zc in zin.columns:  # never clobber a real table column
+                zc += "_"
+            df = zin.withColumn(
+                zc,
+                zorder_column(zin, list(zorder_by), bits=zorder_bits),
+            )
+            keys = list(spec_names or []) + [zc]
+            df = (
+                df.repartitionByRange(n_out, *keys)
+                .sortWithinPartitions(*keys)
+                .drop(zc)
+            )
+        elif spec_names:
+            # hash-cluster on the partition columns so each rewritten
+            # partition binpacks into its own task → one output file per
+            # small partition (a bare coalesce interleaves partitions across
+            # tasks and EXPANDS the file count it is meant to shrink)
+            df = df.repartition(n_out, *spec_names)
+        else:
+            df = df.coalesce(n_out)
         _write_parquet_micros(df, commit_dir, partition_by=spec_names or None)
     finally:
-        if zorder_by:
+        if zin is not None:
             zin.unpersist()
     new_files = _stat_commit_dir(t, md, location, commit_dir)
     summ = {

@@ -285,13 +285,21 @@ def evaluate_tagger(
 
 def _bio_spans(labels: np.ndarray, sent: np.ndarray) -> set:
     """Vectorized BIO span extraction: {(sent, start, end, type_idx)} for
-    every maximal B-X I-X* run (the numpy run-boundary pattern from
+    every maximal span run (the numpy run-boundary pattern from
     decode_mentions — no per-token python loop). In the label alphabet
-    B-X ids are odd, the matching I-X id is B+1, O is 0."""
+    B-X ids are odd, the matching I-X id is B+1, O is 0.
+
+    Convention (conlleval/seqeval, round-4 ADVICE): an orphan I-X — an
+    I-X at sentence start, after O, or after a different type — STARTS a
+    span, exactly as the CoNLL eval script treats it. Well-formed BIO
+    (gold, and Viterbi output under the trained transition scores) never
+    emits orphans, so this only affects degenerate predictions — but it
+    keeps the reported F1 comparable to seqeval-scored systems."""
     n = len(labels)
     if n == 0:
         return set()
     is_b = labels % 2 == 1
+    is_i = (labels > 0) & (labels % 2 == 0)
     exp = labels + (labels % 2)  # B-X -> its I-X id; I-X -> itself; O -> 0
     cont = np.zeros(n, dtype=bool)
     cont[1:] = (
@@ -301,7 +309,9 @@ def _bio_spans(labels: np.ndarray, sent: np.ndarray) -> set:
         & (sent[1:] == sent[:-1])
     )
     brk = np.flatnonzero(~cont)
-    starts = np.flatnonzero(is_b)
+    # span starts: every B-X, plus every orphan I-X (an I that does not
+    # continue the previous token's span)
+    starts = np.flatnonzero(is_b | (is_i & ~cont))
     ends = np.append(brk, n)[np.searchsorted(brk, starts, side="right")]
     return {
         (int(sent[s]), int(s), int(e), int((labels[s] - 1) // 2))

@@ -2304,6 +2304,20 @@ def text_vocab_topk(spark, sf):
     )
 
 
+def _mg_merge_width(n_part: int) -> int:
+    """Mid-level width of the Misra-Gries merge tree: ~sqrt(P) so both
+    tree levels consume ~sqrt(P) summaries each, floored at 32 so small
+    inputs never pay an extra stage for a merge the final task does
+    trivially. sqrt is the balanced two-level fan-in: mid tasks read
+    P/mid summaries, the final task reads mid, and mid = sqrt(P) equates
+    them — at P = 10^6 scan partitions each level handles ~1000
+    summaries (~1000 * cap rows), where a fixed 32-wide mid level would
+    hand the FINAL task 31k summaries."""
+    import math
+
+    return max(32, math.isqrt(max(1, n_part)))
+
+
 @register(
     "heavy_hitters_tokens",
     """
@@ -2430,11 +2444,22 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
         )
 
     schema = "token string, cnt long, n_sub long"
+    summaries = toks.mapInPandas(mg, schema=schema)
+    # balanced merge tree: the mid level holds ~sqrt(P) merge tasks so
+    # BOTH levels consume ~sqrt(P) summaries each (round-4 VERDICT: a
+    # fixed 32-wide mid level makes the final merge read P/32 summaries —
+    # fine to ~10^4 input partitions, but at 10^5+ the last task becomes
+    # the data-sized bottleneck the tree exists to avoid). P is read from
+    # the plan (no job); at fixture P the tree is skipped outright — one
+    # merge of P*(cap+1) rows is already driver-trivial there.
+    n_part = summaries.rdd.getNumPartitions()
+    mid = _mg_merge_width(n_part)
+    if n_part > mid:
+        summaries = summaries.repartition(mid).mapInPandas(
+            mg_merge, schema=schema
+        )
     merged = (
-        toks.mapInPandas(mg, schema=schema)
-        .repartition(32)
-        .mapInPandas(mg_merge, schema=schema)
-        .repartition(1)
+        summaries.repartition(1)
         .mapInPandas(mg_merge, schema=schema)
         .collect()
     )
@@ -2453,20 +2478,29 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
     )
 
 
+# shared window width for dedup_substring_spans: the oracle SQL below is
+# GENERATED from this constant (round-4 ADVICE: a hardcoded window-8
+# oracle next to a w parameter silently desyncs when a caller passes
+# w != 8) — the registered differential always runs at exactly this w
+_SUBSTR_W = 8
+
+
 @register(
     "dedup_substring_spans",
-    """
+    f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     sh AS (
       SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-             array_to_string(toks[i:i+7], ' ') AS s
-      FROM d, LATERAL UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+             array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' ') AS s
+      FROM d, LATERAL UNNEST(generate_series(1, len(toks) - {_SUBSTR_W - 1}))
+           AS g(i)
     ),
     dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
     m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos > LAG(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+             CASE WHEN pos > LAG(pos) OVER w + {_SUBSTR_W} THEN 1 ELSE 0 END
+               AS brk
       FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
     grp AS (
       SELECT doc_id, pos,
@@ -2474,12 +2508,12 @@ def heavy_hitters_tokens(spark, sf, phi: float = 0.002):
       FROM isl)
     SELECT doc_id,
            CAST(MIN(pos) AS INT) AS span_start,
-           CAST(MAX(pos) + 7 AS INT) AS span_end,
-           CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS n_dup_tokens
+           CAST(MAX(pos) + {_SUBSTR_W - 1} AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_SUBSTR_W} AS INT) AS n_dup_tokens
     FROM grp GROUP BY doc_id, isle
     """,
 )
-def dedup_substring_spans(spark, sf, w: int = 8):
+def dedup_substring_spans(spark, sf, w: int = _SUBSTR_W):
     """Substring-level dedup (the train-data op from Lee et al. 2022,
     'Deduplicating Training Data Makes Language Models Better'): find,
     per document, the MAXIMAL token spans covered by the union of all

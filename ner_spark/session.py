@@ -117,10 +117,19 @@ def set_confs(spark: SparkSession, confs: dict[str, str]):
     conf-sensitive demos (e.g. runtime bloom-filter injection, which
     needs fixture-scale thresholds) and their plan-pin tests both use, so
     the two sites cannot drift."""
+    # conf.get(k) with no default resolves REGISTERED defaults too, so a
+    # key the session never explicitly set would restore as an explicitly
+    # pinned value (round-4 ADVICE — e.g. autoBroadcastJoinThreshold would
+    # stop tracking future default changes). conf.get(k, default) returns
+    # the default only when there is no explicit session value, and
+    # "<undefined>" is Spark's own getConfString sentinel that also skips
+    # the typed-entry value conversion — so unset keys round-trip to unset.
+    _UNSET = "<undefined>"
     old: dict[str, str | None] = {}
     for k in confs:
         try:
-            old[k] = spark.conf.get(k)
+            v = spark.conf.get(k, _UNSET)
+            old[k] = None if v == _UNSET else v
         except Exception:
             old[k] = None
     for k, v in confs.items():
