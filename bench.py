@@ -170,7 +170,7 @@ def run_kg(spark, size: str) -> dict:
     }
 
 
-def run_stream_kg(spark) -> dict:
+def run_stream_kg(spark, n_batches: int = 10) -> dict:
     """Streaming-ingest throughput (round-3 VERDICT item 9): the
     distributed `transcript_gen` source rate-limited to fixed
     conversation chunks per trigger, driven through the incremental KG
@@ -178,6 +178,10 @@ def run_stream_kg(spark) -> dict:
     a noop sink. Reports rows/s plus per-batch state rows — event time
     advances ~1 h per conversation, so the 1 h dedup watermark must keep
     evicting; max_state_rows ≪ total rows is the bounded-state evidence.
+
+    ``n_batches`` sets the trigger cadence (conversations per trigger =
+    n_convs / n_batches); ``--stream-sweep`` varies it to measure how
+    much of the steady-state cost is per-batch overhead vs per-row work.
     """
     import pandas as pd
 
@@ -187,7 +191,6 @@ def run_stream_kg(spark) -> dict:
     from pyspark.sql import functions as F
 
     n_convs = int(os.environ.get("SPARK_GRAFT_STREAM_CONVS", "40000"))
-    n_batches = 10
     per_batch = max(1, n_convs // n_batches)
     spark.dataSource.register(TranscriptStreamDataSource)
     # one task wave per micro-batch: with task.cpus=2 the session has
@@ -262,6 +265,7 @@ def run_stream_kg(spark) -> dict:
     steady_sec = sum(b["batch_ms"] for b in steady) / 1000.0
     return {
         "convs": n_convs,
+        "convs_per_batch": per_batch,
         "rows": total_rows,
         "batches": len(data),
         "sec": round(wall, 3),
@@ -574,6 +578,13 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--kg-only", action="store_true")
     ap.add_argument("--stream-kg-only", action="store_true")
+    ap.add_argument("--stream-sweep", action="store_true",
+                    help="trigger-cadence sweep: run the stream_kg "
+                         "ingest at several conversations-per-trigger "
+                         "sizes on the SAME feed and table steady rows/s "
+                         "vs cadence in BENCH/BASELINE.md — measures how "
+                         "much of the per-batch overhead larger "
+                         "production triggers amortize")
     ap.add_argument("--skew", action="store_true",
                     help="planted-hot-entity AQE skew-join A/B; appends "
                          "the numbers to BENCH/BASELINE.md")
@@ -612,6 +623,44 @@ def main() -> None:
 
     if a.stream_kg_only:
         print(json.dumps({"stream_kg": run_stream_kg(spark)}))
+        spark.stop()
+        return
+
+    if a.stream_sweep:
+        # same feed, same session, only the trigger size varies. A warm-up
+        # run first so no cadence pays the python-worker/broadcast
+        # first-run cost (steady-state already excludes each run's batch 0,
+        # but JVM/page-cache warm-up would still favor later cadences).
+        run_stream_kg(spark, n_batches=10)
+        cadences = [
+            int(x)
+            for x in os.environ.get(
+                "SPARK_GRAFT_STREAM_SWEEP", "40,20,10,5,2"
+            ).split(",")
+        ]
+        sweep = []
+        for nb in cadences:
+            r = run_stream_kg(spark, n_batches=nb)
+            sweep.append(r)
+        md = os.path.join(_ROOT, "BENCH", "BASELINE.md")
+        os.makedirs(os.path.dirname(md), exist_ok=True)
+        with open(md, "a") as f:
+            f.write(
+                "\n## stream_kg trigger-cadence sweep ({}, {} convs, "
+                "local[{}])\n\n"
+                "| convs/trigger | batches | steady rows/s | "
+                "max state rows |\n| --- | --- | --- | --- |\n".format(
+                    time.strftime("%Y-%m-%d %H:%M:%S"),
+                    sweep[0]["convs"], CPUS,
+                )
+            )
+            for r in sweep:
+                f.write(
+                    f"| {r['convs_per_batch']} | {r['batches']} "
+                    f"| {r['steady_rows_per_sec']} "
+                    f"| {r['max_state_rows']} |\n"
+                )
+        print(json.dumps({"stream_sweep": sweep}))
         spark.stop()
         return
 

@@ -212,11 +212,18 @@ def transcripts_df(
     median_turns: int = 8,
     n_hot: int = 1,
     hot_turns: int = 400,
+    convs_per_hour: int = 1,
 ) -> pd.DataFrame:
     """Schema per BASELINE.json input_hint:
     (conv_id string, turn_idx int32, role string, text string,
      tool string|null, ts timestamp). Rows are written in shuffled order
-    (late-data realism); consumers must sort by (conv_id, turn_idx)."""
+    (late-data realism); consumers must sort by (conv_id, turn_idx).
+
+    ``convs_per_hour`` sets the event-time density: the default 1 is the
+    historical fixture artifact (one conversation per hour — a 64k-turn
+    corpus spans ~8000 hour buckets, pathological for days(ts) layouts);
+    raise it to emulate production density (e.g. 42 ≈ 10^3
+    conversations per day-dir) for layout-sensitive profiles."""
     rng = np.random.default_rng(seed + 2)
     by_type = {t: cat.index[cat.ner_type == t].to_numpy() for t in spec.NER_TYPES}
     hot_idx = cat.index[cat.hot].to_numpy()
@@ -290,7 +297,11 @@ def transcripts_df(
             texts.append(FILLERS[filler_pick[k]])
 
     base = np.datetime64("2026-01-01T00:00:00")
-    ts = base + conv_no.astype("timedelta64[h]") + turn_idx.astype("timedelta64[s]")
+    ts = (
+        base
+        + (conv_no // convs_per_hour).astype("timedelta64[h]")
+        + turn_idx.astype("timedelta64[s]")
+    )
     df = pd.DataFrame(
         {
             "conv_id": np.char.add("c", np.char.zfill(conv_no.astype(str), 8)),

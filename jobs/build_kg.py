@@ -45,6 +45,31 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--model",
+        choices=["fixture", "trained"],
+        default="fixture",
+        help="mention model: 'fixture' = the generated weights; "
+        "'trained' = train the distributed structured perceptron on the "
+        "CoNLL corpus first (nlp/train.py) and run the pipeline on the "
+        "learned weights (the production loop: train -> broadcast -> "
+        "score)",
+    )
+    ap.add_argument(
+        "--model-npz",
+        help="load mention-model weights from a .npz with arrays WT "
+        "(D, L float32), T, start — e.g. saved from a previous "
+        "--model trained run (takes precedence over --model)",
+    )
+    ap.add_argument(
+        "--train-corpus",
+        default="tiny",
+        help="CoNLL fixture name to train on when --model trained",
+    )
+    ap.add_argument(
+        "--train-iters", type=int, default=12,
+        help="training passes for --model trained",
+    )
+    ap.add_argument(
         "--task-cpus",
         type=int,
         default=None,
@@ -79,6 +104,32 @@ def main() -> None:
             ap.error("--input/--gazetteer/--embeddings or --fixture required")
         tx_path, gaz_path, emb_path = a.input, a.gazetteer, a.embeddings
 
+    model = None
+    train_sec = 0.0
+    if a.model_npz:
+        import numpy as np
+
+        z = np.load(a.model_npz)
+        model = {"WT": z["WT"], "T": z["T"], "start": z["start"]}
+    elif a.model == "trained":
+        from ner_spark.nlp.train import (
+            sentences_from_conll,
+            structural_transitions,
+            train_perceptron,
+        )
+        from ner_spark.sources.conll import ensure_conll_fixture, read_conll
+
+        t_tr = time.perf_counter()
+        sents = sentences_from_conll(
+            read_conll(spark, ensure_conll_fixture(a.train_corpus))
+        )
+        WT, _ = train_perceptron(
+            spark, sents, pd.read_parquet(gaz_path), iters=a.train_iters
+        )
+        T, start = structural_transitions()
+        model = {"WT": WT, "T": T, "start": start}
+        train_sec = round(time.perf_counter() - t_tr, 2)
+
     t0 = time.perf_counter()
     out = build_kg(
         spark,
@@ -89,10 +140,13 @@ def main() -> None:
         run_id=a.run_id,
         resume=not a.no_resume,
         n_partitions=a.partitions,
+        model=model,
     )
     metrics = {
         "run_id": a.run_id,
         "warehouse": a.warehouse,
+        "model": "npz" if a.model_npz else a.model,
+        "train_sec": train_sec,
         "wall_sec": round(time.perf_counter() - t0, 2),
         "rows": {name: df.count() for name, df in out.items()},
     }

@@ -127,6 +127,8 @@ def train_perceptron(
     gazetteer_pdf: pd.DataFrame,
     iters: int = 12,
     lr: float = 0.1,
+    mode: str = "batch",
+    mix_chunk: int = 32,
 ) -> tuple[np.ndarray, list[dict]]:
     """Fit emission weights on gold-tagged sentences; returns (WT, history).
 
@@ -134,7 +136,39 @@ def train_perceptron(
     so ``{"WT": WT, "T": T, "start": start}`` swaps into the production
     broadcast. history has per-iteration {n_tok, n_mis, nnz_update}.
     ``gazetteer_pdf`` may also be a prebuilt GazMatcher (reused by
-    evaluate_tagger callers)."""
+    evaluate_tagger callers).
+
+    ``mode`` selects the distributed-perceptron family member
+    (Collins 2002; McDonald et al. 2010):
+
+    - ``"batch"`` — decode the WHOLE corpus against fixed weights, apply
+      the summed integer update once per pass. Bit-deterministic for ANY
+      partitioning (exact integer sums; the invariance test's scope).
+    - ``"averaged"`` — batch passes, but the returned weights are the
+      tail (suffix) average of the per-pass iterates: the mean of the
+      LAST HALF of the trajectory. Same updates and mistake curve as
+      batch, same partitioning-determinism; only the returned matrix
+      differs — averaging damps the last passes' oscillation around the
+      margin. Tail rather than full-trajectory Collins averaging
+      because a from-zero batch run CONVERGES monotonically for most of
+      a short budget: measured on the tiny corpus (BENCH/BASELINE.md
+      A/B), averaging ALL 12 iterates is dominated by under-trained
+      early weights (held-out F1 0.37 vs batch 0.98), while the
+      half-tail mean keeps the stabilization without the regression.
+    - ``"ipm"`` — iterative parameter mixing: each partition runs a
+      LOCAL perceptron for the pass (decode a ``mix_chunk``-sentence
+      chunk with its CURRENT local weights, apply the update locally,
+      continue), then the pass mixes the per-partition deltas uniformly
+      (McDonald et al.'s μ = 1/S). Each executor update sees the effect
+      of earlier local updates within the pass, so fewer passes reach a
+      given fit than batch — the McDonald result — at the cost of
+      bit-determinism across REpartitionings (within a fixed
+      partitioning it is still deterministic). The shuffle stays
+      mistake-sparse like batch; the mixing divide makes the weight
+      lattice finer (lr/S steps), not denser.
+    """
+    if mode not in ("batch", "averaged", "ipm"):
+        raise ValueError(f"unknown training mode {mode!r}")
     sc = spark.sparkContext
     T, start = structural_transitions()
     bc_gaz = sc.broadcast(_matcher(gazetteer_pdf))
@@ -143,15 +177,20 @@ def train_perceptron(
     # parse, groupBy, array_sort) without it
     data = sents.select("tokens", "golds").persist()
     history: list[dict] = []
+    # tail averaging: keep the per-pass iterates (references — the loop
+    # already copies WT each pass) and average the last half at the end
+    iterates: list[np.ndarray] | None = [] if mode == "averaged" else None
     try:
         for _ in range(iters):
             bc_w = sc.broadcast(WT)
+            step = (
+                _step_fn(bc_w, bc_gaz, T, start)
+                if mode != "ipm"
+                else _ipm_step_fn(bc_w, bc_gaz, T, start, lr, mix_chunk)
+            )
             try:
                 upd = (
-                    data.mapInPandas(
-                        _step_fn(bc_w, bc_gaz, T, start),
-                        schema="i long, j int, d long",
-                    )
+                    data.mapInPandas(step, schema="i long, j int, d long")
                     .groupBy("i", "j")
                     .agg(F.sum("d").alias("d"))
                     .collect()
@@ -159,19 +198,37 @@ def train_perceptron(
             finally:
                 bc_w.destroy()
             stats = {"n_tok": 0, "n_mis": 0, "nnz_update": 0}
-            WT = WT.copy()
+            n_shards = 0
+            pend = []
             for r in upd:
-                if r["i"] < 0:
+                if r["i"] == -1:
                     stats["n_tok" if r["j"] == 0 else "n_mis"] = int(r["d"])
+                elif r["i"] == -2:
+                    n_shards = int(r["d"])
                 elif r["d"]:
-                    WT[r["i"], r["j"]] += lr * r["d"]
-                    stats["nnz_update"] += 1
+                    pend.append(r)
+            WT = WT.copy()
+            # batch/averaged apply the summed update at lr; ipm applies
+            # the UNIFORM MIX of the per-shard local deltas — each shard
+            # emitted its integer update counts, so the mixed delta is
+            # lr * sum / n_shards
+            scale = lr if mode != "ipm" else lr / max(1, n_shards)
+            for r in pend:
+                WT[r["i"], r["j"]] += scale * r["d"]
+                stats["nnz_update"] += 1
+            if iterates is not None:
+                iterates.append(WT)
             history.append(stats)
             if stats["n_mis"] == 0:
                 break
     finally:
         bc_gaz.destroy()
         data.unpersist()
+    if iterates:
+        tail = iterates[len(iterates) // 2:]
+        WT = (
+            np.sum(tail, axis=0, dtype=np.float64) / len(tail)
+        ).astype(np.float32)
     return WT, history
 
 
@@ -220,6 +277,78 @@ def _step_fn(bc_w, bc_gaz, T, start):
         rows = [(int(k) // _L, int(k) % _L, int(s)) for k, s in acc.items()]
         rows.append((-1, 0, n_tok))
         rows.append((-1, 1, n_mis))
+        yield pd.DataFrame(rows, columns=["i", "j", "d"])
+
+    return step
+
+
+def _ipm_step_fn(bc_w, bc_gaz, T, start, lr, mix_chunk):
+    """One IPM pass's executor function: run a LOCAL perceptron over the
+    partition — decode each mix_chunk-sentence chunk with the CURRENT
+    local weights, apply its summed update to them immediately — and emit
+    the partition's accumulated INTEGER update counts plus an (i=-2)
+    shard sentinel, so the driver can mix the local deltas uniformly
+    (local_delta = lr * counts; mixed = mean over shards). Local weights
+    copy-on-write only the rows a chunk touches (WT is 37 MB; a full
+    partition copy per task would dominate small passes)."""
+
+    def step(batches):
+        # full local copy of the broadcast weights (37 MB float32, ~10 ms
+        # — one per task per pass, negligible next to the decode work):
+        # local updates then go through the SAME _decode/
+        # emissions_from_indices path production uses, no overlay scorer
+        W = None
+        acc: dict = {}
+        n_tok = 0
+        n_mis = 0
+        for b in batches:
+            for s0 in range(0, len(b), mix_chunk):
+                c = b.iloc[s0:s0 + mix_chunk]
+                if not len(c):
+                    continue
+                if W is None:
+                    W = bc_w.value.copy()
+                tok, attrs, inv, gold = _batch_arrays(c)
+                fidx, pred = _decode(
+                    tok, attrs, inv, W, T, start, bc_gaz.value
+                )
+                n_tok += len(gold)
+                mis = pred != gold
+                n_mis += int(mis.sum())
+                if not mis.any():
+                    continue
+                fm = fidx[mis]
+                vv = (fm >= 0).ravel()
+                ii = fm.ravel()[vv]
+                jg = np.repeat(gold[mis], V.N_FEAT_COLS)[vv]
+                jp = np.repeat(pred[mis], V.N_FEAT_COLS)[vv]
+                keys = np.concatenate([ii * _L + jg, ii * _L + jp])
+                vals = np.concatenate(
+                    [
+                        np.ones(len(ii), dtype=np.int64),
+                        -np.ones(len(ii), dtype=np.int64),
+                    ]
+                )
+                uk, uinv = np.unique(keys, return_inverse=True)
+                sums = np.bincount(uinv, weights=vals).astype(np.int64)
+                nz = sums != 0
+                for k, s in zip(uk[nz].tolist(), sums[nz].tolist()):
+                    acc[k] = acc.get(k, 0) + s
+                # apply this chunk's update to the LOCAL weights so the
+                # next chunk decodes against them — the sequential step
+                # that makes IPM converge in fewer passes than batch
+                W[uk[nz] // _L, uk[nz] % _L] += (lr * sums[nz]).astype(
+                    np.float32
+                )
+        rows = [(int(k) // _L, int(k) % _L, int(s)) for k, s in acc.items()]
+        rows.append((-1, 0, n_tok))
+        rows.append((-1, 1, n_mis))
+        if n_tok:
+            # shard sentinel: only shards that SAW tokens enter the mix
+            # denominator — empty input partitions would otherwise dilute
+            # every mixed update (McDonald's shards are non-empty by
+            # construction)
+            rows.append((-2, 0, 1))
         yield pd.DataFrame(rows, columns=["i", "j", "d"])
 
     return step

@@ -48,11 +48,16 @@ class KGPipeline(StagedPipeline):
         resume: bool = True,
         n_partitions: int | None = None,
         fmt: str | None = None,
+        model: dict | None = None,
     ):
         super().__init__(spark, warehouse, run_id, resume, fmt=fmt)
         self.gaz_pdf = gazetteer_pdf
         self.emb = entity_embeddings
         self.n_partitions = n_partitions
+        # optional {"WT", "T", "start"} override for the mention model —
+        # perceptron-trained weights (nlp/train.py) drop in here; None
+        # keeps the generated fixture model
+        self.model = model
 
     # -- pipeline -------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
@@ -84,7 +89,7 @@ class KGPipeline(StagedPipeline):
         # parquet write+read of the same rows costs ~2s and scales with
         # cores. Bonus: a resume where mentions committed but links did
         # not now reads ctx_emb back instead of recomputing the NLP stage.
-        men_full = detect_mentions(tx, self.gaz_pdf, spark)
+        men_full = detect_mentions(tx, self.gaz_pdf, spark, model=self.model)
         men_tbl = self._stage("mentions", lambda: men_full)
         mentions = men_tbl.drop("ctx_emb")
         gaz_n = gazetteer_norm(spark, self.gaz_pdf)
@@ -134,10 +139,11 @@ def build_kg(
     n_partitions: int | None = None,
     stage_secs: dict | None = None,
     fmt: str | None = None,
+    model: dict | None = None,
 ) -> dict[str, DataFrame]:
     p = KGPipeline(
         spark, gazetteer_pdf, entity_embeddings, warehouse, run_id, resume,
-        n_partitions, fmt=fmt,
+        n_partitions, fmt=fmt, model=model,
     )
     out = p.run(transcripts)
     if stage_secs is not None:  # per-stage wall breakdown (bench.py)

@@ -72,6 +72,37 @@ def test_training_is_partitioning_invariant(spark, conll_sents, gaz_pdf):
     assert np.array_equal(w_a, w_b)
 
 
+def test_training_modes(spark, conll_sents, gaz_pdf):
+    """The mode flag's contracts (round-4 VERDICT item 3): averaged is
+    batch + a deterministic post-average (at a 2-pass budget the half
+    tail is just the final iterate, so the outputs must be bit-equal);
+    ipm is deterministic for a FIXED partitioning (the invariance that
+    survives local sequential updates) and shares the mistake-curve
+    bookkeeping; unknown modes fail fast."""
+    import pytest as _pytest
+
+    from ner_spark.nlp.train import train_perceptron
+
+    data = conll_sents.repartition(5)
+    w_b, h_b = train_perceptron(spark, data, gaz_pdf, iters=2, mode="batch")
+    w_a, h_a = train_perceptron(
+        spark, data, gaz_pdf, iters=2, mode="averaged"
+    )
+    assert h_a == h_b
+    assert np.array_equal(w_a, w_b)  # 2-pass tail == final iterate
+
+    w_i1, h_i1 = train_perceptron(spark, data, gaz_pdf, iters=2, mode="ipm")
+    w_i2, h_i2 = train_perceptron(spark, data, gaz_pdf, iters=2, mode="ipm")
+    assert h_i1 == h_i2
+    assert np.array_equal(w_i1, w_i2)
+    # the local sequential updates actually changed the trajectory
+    assert h_i1[0]["n_tok"] == h_b[0]["n_tok"]
+    assert not np.array_equal(w_i1, w_b)
+
+    with _pytest.raises(ValueError):
+        train_perceptron(spark, data, gaz_pdf, iters=1, mode="sgd")
+
+
 def test_trained_tagger_beats_floor(spark, conll_sents, gaz_pdf):
     """Training from ZERO weights on 80% of the tiny corpus must converge
     (mistakes drop below 1% of tokens) and tag the held-out 20% above the
@@ -123,3 +154,46 @@ def test_trained_weights_drive_production_stage(spark, conll_sents, gaz_pdf):
     }["__all__"]
     assert row["precision"] >= 0.95
     assert row["recall"] >= 0.95
+
+
+def test_build_kg_with_trained_weights(spark, conll_sents, gaz_pdf, tmp_path):
+    """The production entry point end-to-end on LEARNED weights (round-4
+    VERDICT item 7): build_kg's model override runs the trained
+    perceptron through the FULL staged pipeline (salting, stage commits,
+    lineage included), and the materialized mentions stage still clears
+    the P/R >= 0.95 bar vs the oracle gold — the same floor as the
+    direct detect_mentions test, but through the whole production
+    surface."""
+    from fixtures.gen import ensure_fixture_dir
+    from ner_spark.nlp.train import structural_transitions, train_perceptron
+    from ner_spark.operators.evaluate import span_prf
+    from ner_spark.plans.kg import build_kg
+    from oracle.ref_pipeline import run_on_dir
+
+    d = ensure_fixture_dir("tiny")
+    WT, _ = train_perceptron(spark, conll_sents, gaz_pdf, iters=12, lr=0.1)
+    T, start = structural_transitions()
+    out = build_kg(
+        spark,
+        spark.read.parquet(f"{d}/transcripts.parquet"),
+        gaz_pdf,
+        spark.read.parquet(f"{d}/entity_embeddings.parquet"),
+        warehouse=str(tmp_path / "wh"),
+        run_id="trained",
+        resume=False,
+        n_partitions=8,
+        model={"WT": WT, "T": T, "start": start},
+    )
+    gold = spark.createDataFrame(
+        run_on_dir(d)["mentions"][
+            ["conv_id", "turn_idx", "start", "end", "ner_type"]
+        ]
+    )
+    row = {
+        r["ner_type"]: r for r in span_prf(out["mentions"], gold).collect()
+    }["__all__"]
+    assert row["precision"] >= 0.95
+    assert row["recall"] >= 0.95
+    # the downstream stages actually ran on the trained mentions
+    assert out["triples"].count() > 0
+    assert out["entities"].count() > 0
