@@ -235,8 +235,41 @@ _JPEG_STD_LUMA_Q = np.array([
     72, 92, 95, 98, 112, 100, 103, 99,
 ], dtype=np.int64)
 
+# Annex K.1 Table K.2 default CHROMINANCE quantization table (natural
+# raster order) — the public spec constant for Cb/Cr planes
+_JPEG_STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
+# K.3 default chrominance Huffman tables (public spec constants)
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
 _JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _JPEG_AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
@@ -282,12 +315,16 @@ def _jpeg_canonical_codes(bits, vals):
     return codes
 
 
-def _jpeg_quality_scale(quality: int) -> np.ndarray:
-    """IJG quality scaling of the Annex K table (libjpeg jcparam.c
+def _jpeg_quality_scale(
+    quality: int, table: np.ndarray | None = None
+) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (libjpeg jcparam.c
     formula — public): 50 = table as-is, 100 -> all 1s."""
+    if table is None:
+        table = _JPEG_STD_LUMA_Q
     quality = min(100, max(1, quality))
     s = 5000 // quality if quality < 50 else 200 - quality * 2
-    return np.clip((_JPEG_STD_LUMA_Q * s + 50) // 100, 1, 255)
+    return np.clip((table * s + 50) // 100, 1, 255)
 
 
 class _JpegBitWriter:
@@ -320,6 +357,40 @@ def _jpeg_magnitude(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
+def _jpeg_write_block(bw, bz, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Entropy-code ONE zigzag-ordered quantized block (T.81 F.1.2);
+    returns the new DC predictor. Shared by the grayscale and the
+    interleaved color encoders."""
+    diff = int(bz[0]) - prev_dc
+    prev_dc = int(bz[0])
+    cat = _jpeg_category(diff)
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(_jpeg_magnitude(diff, cat), cat)
+    run = 0
+    nz = np.nonzero(bz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(bz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(_jpeg_magnitude(v, cat), cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return prev_dc
+
+
 def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     """(h, w) uint8 -> baseline-sequential grayscale JPEG bytes.
 
@@ -345,33 +416,7 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     bw = _JpegBitWriter()
     prev_dc = 0
     for bz in zz:
-        diff = int(bz[0]) - prev_dc
-        prev_dc = int(bz[0])
-        cat = _jpeg_category(diff)
-        code, ln = dc_codes[cat]
-        bw.put(code, ln)
-        if cat:
-            bw.put(_jpeg_magnitude(diff, cat), cat)
-        run = 0
-        nz = np.nonzero(bz[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(bz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.put(code, ln)
-                run -= 16
-            cat = _jpeg_category(v)
-            code, ln = ac_codes[(run << 4) | cat]
-            bw.put(code, ln)
-            bw.put(_jpeg_magnitude(v, cat), cat)
-            run = 0
-        if last < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.put(code, ln)
+        prev_dc = _jpeg_write_block(bw, bz, dc_codes, ac_codes, prev_dc)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -565,3 +610,291 @@ def _jpeg_decode_scan(scan, h, w, q, dc_tab, ac_tab):
             pix = _JPEG_DCT.T @ (block.reshape(8, 8) * q) @ _JPEG_DCT
             out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, color (YCbCr, 4:4:4 / 4:2:0 interleaved)
+# ---------------------------------------------------------------------------
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB -> three float64 planes (JFIF/BT.601
+    full-range transform, the fixed matrix every JFIF codec uses)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Inverse JFIF transform -> (h, w, 3) uint8 (clipped)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    out = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136286 * cb - 0.714136286 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted, dims multiples of 8) ->
+    (H//8, W//8, 64) zigzag-ordered quantized coefficients — the same
+    vectorized einsum DCT as the grayscale path, kept addressable by
+    block position for MCU interleaving."""
+    H, W = plane.shape
+    blocks = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,bcjk,lk->bcil", _JPEG_DCT, blocks, _JPEG_DCT)
+    return np.round(coef / q).astype(np.int64).reshape(
+        H // 8, W // 8, 64
+    )[..., _JPEG_ZIGZAG]
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "420"
+) -> bytes:
+    """uint8 image -> baseline-sequential JPEG bytes.
+
+    (h, w) arrays delegate to the grayscale encoder; (h, w, 3) RGB
+    arrays emit the dominant real-corpus variant: JFIF YCbCr with
+    Annex K luma+chroma quant tables, K.3 luma+chroma Huffman tables,
+    and ONE interleaved scan. ``subsampling`` is "420" (2x2 box-averaged
+    chroma, MCU = 4 Y + Cb + Cr blocks) or "444" (full-resolution
+    chroma, MCU = Y + Cb + Cr)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        return encode_jpeg_gray(img, quality)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    if subsampling not in ("420", "444"):
+        raise NotImplementedError(f"subsampling {subsampling!r} (420/444)")
+    h, w = img.shape[:2]
+    sub = 2 if subsampling == "420" else 1
+    mcu = 8 * sub  # MCU pixel span
+    ql = _jpeg_quality_scale(quality).reshape(8, 8)
+    qc = _jpeg_quality_scale(quality, _JPEG_STD_CHROMA_Q).reshape(8, 8)
+    y, cb, cr = _rgb_to_ycbcr(
+        np.pad(img, ((0, -h % mcu), (0, -w % mcu), (0, 0)), mode="edge")
+    )
+    if sub == 2:
+        H, W = y.shape
+        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    zzy = _jpeg_zz_blocks(y - 128.0, ql)
+    zzb = _jpeg_zz_blocks(cb - 128.0, qc)
+    zzr = _jpeg_zz_blocks(cr - 128.0, qc)
+
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors
+    for my in range(zzb.shape[0]):
+        for mx in range(zzb.shape[1]):
+            for v in range(sub):  # Y blocks, left-to-right, top-to-bottom
+                for hh in range(sub):
+                    prev[0] = _jpeg_write_block(
+                        bw, zzy[my * sub + v, mx * sub + hh],
+                        dc_l, ac_l, prev[0],
+                    )
+            prev[1] = _jpeg_write_block(bw, zzb[my, mx], dc_c, ac_c, prev[1])
+            prev[2] = _jpeg_write_block(bw, zzr[my, mx], dc_c, ac_c, prev[2])
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    samp_y = (sub << 4) | sub  # 0x22 for 4:2:0, 0x11 for 4:4:4
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFDB,
+        bytes([0]) + bytes(ql.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8))
+        + bytes([1]) + bytes(qc.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8)),
+    )
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG bytes -> (h, w) gray or (h, w, 3) RGB.
+
+    The GENERAL baseline decoder (T.81 baseline + JFIF color): 1- or
+    3-component streams, per-component quant/Huffman table selection,
+    sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0), one interleaved
+    scan or a single-component scan; APPn/COM skipped, tables read from
+    the stream. Chroma upsampling is JFIF sample replication; 3-component
+    output converts YCbCr -> RGB (BT.601 full-range).
+    Progressive/arithmetic/hierarchical coding, restart intervals,
+    16-bit quant tables and sampling factors > 2 raise
+    NotImplementedError — the documented libjpeg boundary
+    (``decode_jpeg_gray`` remains the strict single-component parser)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone TEM/RSTn
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8
+                )
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_decode_table(
+                    bits, list(body[i + 17:i + 17 + n])
+                )
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (1 or 3)")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} (1-2 only)"
+                    )
+                comps.append((cid, hi, vi, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG unsupported "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tabs[cs] = (huff[(0, tdta >> 4)], huff[(1, tdta & 0xF)])
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved color) baseline JPEG"
+                )
+            return _jpeg_decode_mcus(
+                data[pos:], h, w, comps, qt, scan_tabs
+            )
+        # else: APPn / COM — skipped
+    raise ValueError("no SOS marker found")
+
+
+def _jpeg_decode_mcus(scan, h, w, comps, qt, scan_tabs) -> np.ndarray:
+    """Entropy-decode one interleaved (or single-component) scan, then
+    batch-IDCT per component, upsample, and color-convert. The per-MCU
+    loop is entropy decoding only — all DCT math is one einsum per
+    component, same as the encoder."""
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {
+        cid: np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int64)
+        for cid, hi, vi, _ in comps
+    }
+    br = _JpegBitReader(scan)
+    prev = {cid: 0 for cid, _, _, _ in comps}
+
+    def read_block(cid, dc_tab, ac_tab):
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _jpeg_read_symbol(br, dc_tab)
+        prev[cid] += _jpeg_extend(br.bits(cat), cat) if cat else 0
+        zz[0] = prev[cid]
+        k = 1
+        while k < 64:
+            rs = _jpeg_read_symbol(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _jpeg_extend(br.bits(s), s)
+            k += 1
+        return zz
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for cid, hi, vi, _ in comps:
+                dc_tab, ac_tab = scan_tabs[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        coefs[cid][my * vi + v, mx * hi + hh] = read_block(
+                            cid, dc_tab, ac_tab
+                        )
+
+    planes = []
+    for cid, hi, vi, tq in comps:
+        zz = coefs[cid]
+        nat = np.zeros_like(zz)
+        nat[..., _JPEG_ZIGZAG] = zz
+        blocks = nat.reshape(*zz.shape[:2], 8, 8) * qt[tq]
+        pix = np.einsum("ji,byjk,kl->byil", _JPEG_DCT, blocks, _JPEG_DCT)
+        by, bx = zz.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # crop to the component's own dims, then JFIF sample-replicate up
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(*planes)

@@ -5,15 +5,18 @@ typed metadata, processed by Arrow-batched ``mapInPandas`` stages
 Three REAL container formats run end-to-end on stdlib-only codecs
 (ner_spark/codecs.py; PNG/WAV round 3, baseline JPEG round 4): PNG
 (zlib inflate + full filter-set unfiltering + CRC checks), WAV (stdlib
-``wave`` PCM) and baseline-sequential grayscale JPEG (pure-numpy T.81
-DCT + Huffman). :func:`media_table` emits most image/audio payloads in
-those containers, so the registry entries decode genuine formats every
-run; jpeg rows are thumbnail-sized (<= 64 px a side) because the
-entropy coder is a python loop — a real cluster swaps libjpeg in at the
-same decode call site. The ``x-fake`` format (raw ``np.frombuffer``)
-remains for the stub path, and the codec's own NotImplementedError
-boundary is now INSIDE the format (progressive/arithmetic/subsampled/
-multi-component JPEG), not the format itself. Everything else is
+``wave`` PCM) and baseline-sequential JPEG (pure-numpy T.81
+DCT + Huffman; grayscale round 4, YCbCr color with 4:2:0/4:4:4
+interleaved scans round 5). :func:`media_table` emits most image/audio
+payloads in those containers — including COLOR 4:2:0 jpegs, the
+dominant real-corpus variant — so the registry entries decode genuine
+formats every run; jpeg rows are thumbnail-sized (<= 64 px a side)
+because the entropy coder is a python loop — a real cluster swaps
+libjpeg in at the same decode call site. The ``x-fake`` format (raw
+``np.frombuffer``) remains for the stub path, and the codec's own
+NotImplementedError boundary is now INSIDE the format (progressive/
+arithmetic/hierarchical coding, restart intervals, sampling factors
+over 2), not the format or its color/subsampling variants. Everything else is
 production-shaped: binary Arrow transfer, struct metadata, batch
 processing, binary-in/binary-out resize (PNG in → PNG out, JPEG in →
 JPEG out), per-row frame sampling.
@@ -33,9 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ner_spark.codecs import (
-    decode_jpeg_gray,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_jpeg_gray,
     encode_png,
     encode_wav,
@@ -114,11 +118,24 @@ def media_table(documents: DataFrame) -> DataFrame:
                         encode_png(raw.reshape(meta["height"], meta["width"]))
                     )
                 elif meta["format"] == "jpeg":
-                    payloads.append(
-                        encode_jpeg_gray(
-                            raw.reshape(meta["height"], meta["width"])
+                    if doc_id % 24 == 3:
+                        # color 4:2:0 row — the dominant real-corpus
+                        # variant (round-5): 3-channel payload from a
+                        # FRESH doc_id-seeded stream (independent of the
+                        # `raw` draw above, so the golden recompute can
+                        # regenerate it without replaying that draw)
+                        rgb = np.random.default_rng(int(doc_id)).integers(
+                            0, 256,
+                            meta["height"] * meta["width"] * 3,
+                            dtype=np.uint8,
+                        ).reshape(meta["height"], meta["width"], 3)
+                        payloads.append(encode_jpeg(rgb, subsampling="420"))
+                    else:
+                        payloads.append(
+                            encode_jpeg_gray(
+                                raw.reshape(meta["height"], meta["width"])
+                            )
                         )
-                    )
                 elif meta["format"] == "wav":
                     payloads.append(encode_wav(raw, meta["sample_rate"]))
                 else:
@@ -148,7 +165,12 @@ def decode_image(payload: bytes, meta: dict) -> np.ndarray:
                  // 1000).astype(np.uint8)
         return a
     if meta["format"] == "jpeg":
-        return decode_jpeg_gray(payload)
+        a = decode_jpeg(payload)  # general baseline: gray OR YCbCr color
+        if a.ndim == 3:  # color JPEG → luma, same integer collapse as PNG
+            r, g, b = a[..., 0].astype(np.int32), a[..., 1], a[..., 2]
+            a = ((r * 299 + g.astype(np.int32) * 587 + b.astype(np.int32) * 114)
+                 // 1000).astype(np.uint8)
+        return a
     if meta["format"] != FAKE_FORMAT:
         raise NotImplementedError(
             f"no codec for {meta['format']!r} in this environment; "

@@ -329,3 +329,165 @@ def test_jpeg_skips_app_segments():
     com = b"\xff\xfe\x00\x07hello"
     spliced = data[:2] + app0 + com + data[2:]
     assert np.array_equal(decode_jpeg_gray(spliced), img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG color (YCbCr, 4:2:0 / 4:4:4) — round-5 additions
+# ---------------------------------------------------------------------------
+from ner_spark.codecs import (  # noqa: E402
+    _JPEG_AC_BITS_C,
+    _JPEG_AC_VALS_C,
+    _JPEG_DC_BITS_C,
+    _JPEG_DC_VALS_C,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _jpeg_color_fixture(entropy: bytes, h: int = 16, w: int = 16,
+                        samp_y: int = 0x22) -> bytes:
+    """Hand-assemble a minimal THREE-component interleaved baseline JPEG
+    per T.81 (all-1 luma+chroma quant tables, Annex K.3 luma AND chroma
+    Huffman tables, one interleaved scan) — independent of
+    encode_jpeg's segment writer."""
+    import struct
+
+    q1 = bytes([1] * 64)
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">HH", 0xFFDB, 2 + 2 * 65)
+    out += bytes([0]) + q1 + bytes([1]) + q1
+    out += struct.pack(">HH", 0xFFC0, 17) + struct.pack(">BHHB", 8, h, w, 3)
+    out += bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tcth, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x01, _JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+        (0x11, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C),
+    ):
+        out += struct.pack(">HH", 0xFFC4, 19 + len(vals))
+        out += bytes([tcth]) + bytes(bits) + bytes(vals)
+    out += struct.pack(">HH", 0xFFDA, 12)
+    out += bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def _put_dc_only(bw, dc_codes, ac_codes, diff):
+    from ner_spark.codecs import _jpeg_category, _jpeg_magnitude
+
+    cat = _jpeg_category(diff)
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(_jpeg_magnitude(diff, cat), cat)
+    code, ln = ac_codes[0x00]  # EOB
+    bw.put(code, ln)
+
+
+def test_jpeg_color_spec_fixture_flat_420():
+    """Hand-built 4:2:0 fixture: one MCU (4 Y + Cb + Cr DC-only blocks,
+    all-1 quant). Y DC 40 -> flat luma 133; Cb DC -24 -> 125; Cr DC 80
+    -> 138. Expected RGB from the BT.601 inverse (cb-128=-3, cr-128=10):
+    (147, 127, 128) everywhere — asserting the interleaved MCU order,
+    per-component DC predictors, chroma Huffman tables, upsampling and
+    color conversion against spec arithmetic, not our encoder."""
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    bw = _JpegBitWriter()
+    _put_dc_only(bw, dc_l, ac_l, 40)   # Y block 1 (diff 40)
+    for _ in range(3):                 # Y blocks 2-4 (diff 0)
+        _put_dc_only(bw, dc_l, ac_l, 0)
+    _put_dc_only(bw, dc_c, ac_c, -24)  # Cb
+    _put_dc_only(bw, dc_c, ac_c, 80)   # Cr
+    bw.flush()
+    got = decode_jpeg(_jpeg_color_fixture(bytes(bw.out)))
+    assert got.shape == (16, 16, 3)
+    assert np.array_equal(
+        got, np.tile(np.array([147, 127, 128], np.uint8), (16, 16, 1))
+    ), got[0, 0]
+
+
+def test_jpeg_color_spec_fixture_y_block_placement():
+    """Second 4:2:0 hand fixture: the four Y blocks carry DC diffs
+    40/8/8/8 (DC chain -> 40, 48, 56, 64 -> quadrant lumas 133, 134,
+    135, 136, ordered left-to-right then top-to-bottom per T.81), chroma
+    neutral -> RGB equals luma per quadrant. Asserts Y block placement
+    inside the MCU and the differential DC chain."""
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    bw = _JpegBitWriter()
+    for diff in (40, 8, 8, 8):
+        _put_dc_only(bw, dc_l, ac_l, diff)
+    _put_dc_only(bw, dc_c, ac_c, 0)  # Cb neutral
+    _put_dc_only(bw, dc_c, ac_c, 0)  # Cr neutral
+    bw.flush()
+    got = decode_jpeg(_jpeg_color_fixture(bytes(bw.out)))
+    for (qy, qx), v in {(0, 0): 133, (0, 1): 134, (1, 0): 135,
+                        (1, 1): 136}.items():
+        quad = got[qy * 8:(qy + 1) * 8, qx * 8:(qx + 1) * 8]
+        assert np.array_equal(quad, np.full((8, 8, 3), v, np.uint8)), (
+            (qy, qx), quad[0, 0], v)
+
+
+def test_jpeg_color_flat_roundtrip_exact():
+    for sub in ("420", "444"):
+        img = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert np.array_equal(got, img), (sub, got[0, 0])
+
+
+def test_jpeg_color_roundtrip_psnr_and_determinism():
+    y, x = np.mgrid[0:40, 0:52]
+    img = np.stack(
+        [y * 2 + 10, x * 2 + 5, y + x], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+    for sub in ("420", "444"):
+        b1, b2 = encode_jpeg(img, 90, sub), encode_jpeg(img, 90, sub)
+        assert b1 == b2
+        dec = decode_jpeg(b1)
+        assert dec.shape == img.shape
+        mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 35, (sub, psnr)
+    # odd sizes survive the MCU padding round-trip
+    odd = img[:37, :45]
+    assert decode_jpeg(encode_jpeg(odd, 85)).shape == (37, 45, 3)
+
+
+def test_jpeg_color_444_beats_420_on_chroma_edges():
+    """A sharp chroma edge (constant luma) is exactly what 4:2:0
+    averages away: 4:4:4 must reconstruct it with lower error."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :8] = [255, 0, 0]
+    img[:, 8:] = [0, 0, 255]
+    e420 = np.abs(
+        decode_jpeg(encode_jpeg(img, 95, "420")).astype(int) - img
+    ).mean()
+    e444 = np.abs(
+        decode_jpeg(encode_jpeg(img, 95, "444")).astype(int) - img
+    ).mean()
+    assert e444 < e420, (e444, e420)
+
+
+def test_jpeg_general_decoder_reads_gray_and_boundaries():
+    g = (np.mgrid[0:24, 0:32][0] * 5 % 256).astype(np.uint8)
+    data = encode_jpeg_gray(g)
+    got = decode_jpeg(data)
+    assert got.shape == g.shape
+    assert np.array_equal(got, decode_jpeg_gray(data))
+    assert encode_jpeg(g) == data  # gray delegation
+    with pytest.raises(NotImplementedError, match="sampling"):
+        bw = _JpegBitWriter()
+        dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        code, ln = dc_l[0]
+        bw.put(code, ln)
+        bw.flush()
+        decode_jpeg(_jpeg_color_fixture(bytes(bw.out), samp_y=0x33))
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")

@@ -26,8 +26,9 @@ def test_media_schema_and_payload_sizes(media):
         "sample_rate:int,duration_ms:int>>"
     )
     pdf = media.limit(50).toPandas()
-    from ner_spark.codecs import decode_jpeg_gray, decode_png, decode_wav
+    from ner_spark.codecs import decode_jpeg, decode_png, decode_wav
 
+    seen_color_jpeg = False
     for _, r in pdf.iterrows():
         expect = (
             r.meta["width"] * r.meta["height"]
@@ -40,9 +41,12 @@ def test_media_schema_and_payload_sizes(media):
         elif fmt == "png":  # real container: size checked after decode
             assert decode_png(bytes(r.payload)).size == expect
         elif fmt == "jpeg":  # real (lossy) container — shape must hold
-            a = decode_jpeg_gray(bytes(r.payload))
-            assert a.shape == (r.meta["height"], r.meta["width"])
-            assert max(a.shape) < 64  # thumbnail-capped fixture rows
+            a = decode_jpeg(bytes(r.payload))
+            assert a.shape[:2] == (r.meta["height"], r.meta["width"])
+            if a.ndim == 3:  # color 4:2:0 rows (doc_id % 24 == 3)
+                assert a.shape[2] == 3 and r.doc_id % 24 == 3
+                seen_color_jpeg = True
+            assert max(a.shape[:2]) < 64  # thumbnail-capped fixture rows
         else:
             assert fmt == "wav"
             samples, rate = decode_wav(bytes(r.payload))
@@ -52,6 +56,7 @@ def test_media_schema_and_payload_sizes(media):
     assert set(pdf.meta.map(lambda m: m["format"])) == {
         M.FAKE_FORMAT, "png", "wav", "jpeg",
     }
+    assert seen_color_jpeg  # the color-jpeg slice is present (non-vacuous)
 
 
 def test_decode_is_deterministic(media):
@@ -83,7 +88,7 @@ def test_resize_shape_and_batch_independence(spark, media):
     """Output is invariant to partitioning/batch boundaries."""
     r1 = M.image_resize(media).toPandas()
     r2 = M.image_resize(media.repartition(7)).toPandas()
-    from ner_spark.codecs import decode_jpeg_gray, decode_png
+    from ner_spark.codecs import decode_jpeg, decode_png
 
     for df in (r1, r2):
         assert (df.meta.map(lambda m: (m["width"], m["height"])) == (32, 32)).all()
@@ -91,7 +96,9 @@ def test_resize_shape_and_batch_independence(spark, media):
             if r.meta["format"] == "png":  # container preserved end-to-end
                 assert decode_png(bytes(r.payload)).shape == (32, 32)
             elif r.meta["format"] == "jpeg":
-                assert decode_jpeg_gray(bytes(r.payload)).shape == (32, 32)
+                # resize collapses color to luma (rank-2 contract), so
+                # the re-encoded container is grayscale for every row
+                assert decode_jpeg(bytes(r.payload)).shape == (32, 32)
             else:
                 assert len(r.payload) == 32 * 32
     a = r1.sort_values("doc_id").reset_index(drop=True)

@@ -262,10 +262,35 @@ def main() -> None:
         # tests/test_codecs.py) and additionally bounds the decoded
         # stats against the raw stream so a grossly-broken decode can't
         # be snapshotted as golden.
-        from ner_spark.codecs import decode_jpeg_gray, encode_jpeg_gray
+        from ner_spark.codecs import (
+            decode_jpeg,
+            decode_jpeg_gray,
+            encode_jpeg,
+            encode_jpeg_gray,
+        )
 
         def _is_jpeg(doc_id: int) -> bool:
             return doc_id % 12 == 3  # media_table's format rule
+
+        def _is_color(doc_id: int) -> bool:
+            return doc_id % 24 == 3  # the color-4:2:0 slice (round 5)
+
+        def _luma(a: np.ndarray) -> np.ndarray:
+            # decode_image's integer collapse, replicated independently
+            r = a[..., 0].astype(np.int32)
+            g = a[..., 1].astype(np.int32)
+            b = a[..., 2].astype(np.int32)
+            return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+        def _jpeg_decoded(doc_id: int, w0: int, h0: int) -> np.ndarray:
+            rng = np.random.default_rng(int(doc_id))
+            if _is_color(doc_id):
+                rgb = rng.integers(
+                    0, 256, h0 * w0 * 3, dtype=np.uint8
+                ).reshape(h0, w0, 3)
+                return _luma(decode_jpeg(encode_jpeg(rgb, subsampling="420")))
+            raw = rng.integers(0, 256, w0 * h0, dtype=np.uint8)
+            return decode_jpeg_gray(encode_jpeg_gray(raw.reshape(h0, w0)))
 
         feats = per_sf_outs[("mm_image_features", tag)].set_index("doc_id")
         meta_wh = {}
@@ -279,10 +304,15 @@ def main() -> None:
                 0, 256, w0 * h0, dtype=np.uint8
             )
             if _is_jpeg(int(doc_id)):
-                dec = decode_jpeg_gray(encode_jpeg_gray(raw.reshape(h0, w0)))
+                dec = _jpeg_decoded(int(doc_id), w0, h0)
                 assert abs(float(dec.mean()) - row.mean_intensity) < 1e-9, doc_id
                 assert abs(float(dec.std()) - row.std_intensity) < 1e-9, doc_id
-                assert abs(float(raw.mean()) - row.mean_intensity) < 8, doc_id
+                if not _is_color(int(doc_id)):
+                    assert abs(float(raw.mean()) - row.mean_intensity) < 8, doc_id
+                else:
+                    # color rows: decoded luma must stay near the raw
+                    # RGB stream's luma mean (~127.5 for uniform bytes)
+                    assert abs(row.mean_intensity - 127.5) < 8, doc_id
             else:
                 assert abs(float(raw.mean()) - row.mean_intensity) < 1e-9, doc_id
                 assert abs(float(raw.std()) - row.std_intensity) < 1e-9, doc_id
@@ -296,7 +326,7 @@ def main() -> None:
                 0, 256, w0 * h0, dtype=np.uint8
             ).reshape(h0, w0)
             if _is_jpeg(int(doc_id)):
-                raw = decode_jpeg_gray(encode_jpeg_gray(raw))
+                raw = _jpeg_decoded(int(doc_id), w0, h0)
             yi = (np.arange(int(row.height)) * h0 // int(row.height))[:, None]
             xi = (np.arange(int(row.width)) * w0 // int(row.width))[None, :]
             resized = raw[yi, xi]
