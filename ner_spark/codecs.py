@@ -472,6 +472,20 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81
+        F.2.1.3.1: discard the current byte's pad bits, then FF D0+n)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise EOFError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"expected RST{n} at byte {self.pos}, got "
+                f"{self.data[self.pos]:02x}{self.data[self.pos + 1]:02x}"
+            )
+        self.pos += 2
+
 
 def _jpeg_decode_table(bits, vals):
     """(BITS, HUFFVAL) -> {(code, length): symbol}."""
@@ -656,7 +670,8 @@ def _jpeg_zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "420"
+    img: np.ndarray, quality: int = 85, subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 image -> baseline-sequential JPEG bytes.
 
@@ -664,27 +679,35 @@ def encode_jpeg(
     arrays emit the dominant real-corpus variant: JFIF YCbCr with
     Annex K luma+chroma quant tables, K.3 luma+chroma Huffman tables,
     and ONE interleaved scan. ``subsampling`` is "420" (2x2 box-averaged
-    chroma, MCU = 4 Y + Cb + Cr blocks) or "444" (full-resolution
-    chroma, MCU = Y + Cb + Cr)."""
+    chroma, MCU = 4 Y + Cb + Cr blocks), "422" (horizontal-only
+    averaging, MCU = 2 Y + Cb + Cr) or "444" (full-resolution chroma,
+    MCU = Y + Cb + Cr). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (DC predictors reset) every that many
+    MCUs — the error-resilience layout real camera files use."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         return encode_jpeg_gray(img, quality)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
-    if subsampling not in ("420", "444"):
-        raise NotImplementedError(f"subsampling {subsampling!r} (420/444)")
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} (420/422/444)"
+        )
     h, w = img.shape[:2]
-    sub = 2 if subsampling == "420" else 1
-    mcu = 8 * sub  # MCU pixel span
+    sh, sv = factors[subsampling]  # Y sampling factors (h, v)
     ql = _jpeg_quality_scale(quality).reshape(8, 8)
     qc = _jpeg_quality_scale(quality, _JPEG_STD_CHROMA_Q).reshape(8, 8)
     y, cb, cr = _rgb_to_ycbcr(
-        np.pad(img, ((0, -h % mcu), (0, -w % mcu), (0, 0)), mode="edge")
+        np.pad(
+            img, ((0, -h % (8 * sv)), (0, -w % (8 * sh)), (0, 0)),
+            mode="edge",
+        )
     )
-    if sub == 2:
-        H, W = y.shape
-        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    H, W = y.shape
+    if sh > 1 or sv > 1:  # box-average chroma down by the Y factors
+        cb = cb.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
+        cr = cr.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
     zzy = _jpeg_zz_blocks(y - 128.0, ql)
     zzb = _jpeg_zz_blocks(cb - 128.0, qc)
     zzr = _jpeg_zz_blocks(cr - 128.0, qc)
@@ -696,12 +719,20 @@ def encode_jpeg(
 
     bw = _JpegBitWriter()
     prev = [0, 0, 0]  # per-component DC predictors
+    n_mcu = 0
     for my in range(zzb.shape[0]):
         for mx in range(zzb.shape[1]):
-            for v in range(sub):  # Y blocks, left-to-right, top-to-bottom
-                for hh in range(sub):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()  # 1-pad to the byte boundary (F.1.2.3)
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+                )
+                prev = [0, 0, 0]
+            n_mcu += 1
+            for v in range(sv):  # Y blocks, left-to-right, top-to-bottom
+                for hh in range(sh):
                     prev[0] = _jpeg_write_block(
-                        bw, zzy[my * sub + v, mx * sub + hh],
+                        bw, zzy[my * sv + v, mx * sh + hh],
                         dc_l, ac_l, prev[0],
                     )
             prev[1] = _jpeg_write_block(bw, zzb[my, mx], dc_c, ac_c, prev[1])
@@ -711,7 +742,7 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    samp_y = (sub << 4) | sub  # 0x22 for 4:2:0, 0x11 for 4:4:4
+    samp_y = (sh << 4) | sv  # 0x22 = 4:2:0, 0x21 = 4:2:2, 0x11 = 4:4:4
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(
         0xFFDB,
@@ -723,6 +754,8 @@ def encode_jpeg(
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -744,17 +777,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0), one interleaved
     scan or a single-component scan; APPn/COM skipped, tables read from
     the stream. Chroma upsampling is JFIF sample replication; 3-component
-    output converts YCbCr -> RGB (BT.601 full-range).
-    Progressive/arithmetic/hierarchical coding, restart intervals,
-    16-bit quant tables and sampling factors > 2 raise
-    NotImplementedError — the documented libjpeg boundary
-    (``decode_jpeg_gray`` remains the strict single-component parser)."""
+    output converts YCbCr -> RGB (BT.601 full-range). DRI restart
+    intervals are honored (byte-aligned RSTn + DC reset — the
+    error-resilience feature camera encoders emit).
+    Progressive/arithmetic/hierarchical coding, 16-bit quant tables and
+    sampling factors > 2 raise NotImplementedError — the documented
+    libjpeg boundary (``decode_jpeg_gray`` remains the strict
+    single-component parser)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
+    ri = 0  # restart interval in MCUs (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -811,8 +847,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "progressive/arithmetic/hierarchical JPEG unsupported "
                 "(baseline sequential only)"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart every Ri MCUs
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_tabs = {}
@@ -824,17 +860,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     "multi-scan (non-interleaved color) baseline JPEG"
                 )
             return _jpeg_decode_mcus(
-                data[pos:], h, w, comps, qt, scan_tabs
+                data[pos:], h, w, comps, qt, scan_tabs, ri
             )
         # else: APPn / COM — skipped
     raise ValueError("no SOS marker found")
 
 
-def _jpeg_decode_mcus(scan, h, w, comps, qt, scan_tabs) -> np.ndarray:
+def _jpeg_decode_mcus(scan, h, w, comps, qt, scan_tabs,
+                      ri: int = 0) -> np.ndarray:
     """Entropy-decode one interleaved (or single-component) scan, then
     batch-IDCT per component, upsample, and color-convert. The per-MCU
     loop is entropy decoding only — all DCT math is one einsum per
-    component, same as the encoder."""
+    component, same as the encoder. ``ri`` > 0 = DRI restart interval:
+    every ``ri`` MCUs the entropy stream byte-aligns on an RSTn marker
+    (n cycling 0-7) and every DC predictor resets (T.81 F.2.1.3.1) —
+    what camera encoders emit for error resilience."""
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
     mcx = (w + 8 * hmax - 1) // (8 * hmax)
@@ -867,8 +907,14 @@ def _jpeg_decode_mcus(scan, h, w, comps, qt, scan_tabs) -> np.ndarray:
             k += 1
         return zz
 
+    n_mcu = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if ri and n_mcu and n_mcu % ri == 0:
+                br.restart((n_mcu // ri - 1) % 8)
+                for cid in prev:
+                    prev[cid] = 0
+            n_mcu += 1
             for cid, hi, vi, _ in comps:
                 dc_tab, ac_tab = scan_tabs[cid]
                 for v in range(vi):

@@ -445,7 +445,7 @@ def test_jpeg_color_roundtrip_psnr_and_determinism():
     img = np.stack(
         [y * 2 + 10, x * 2 + 5, y + x], axis=-1
     ).clip(0, 255).astype(np.uint8)
-    for sub in ("420", "444"):
+    for sub in ("420", "422", "444"):
         b1, b2 = encode_jpeg(img, 90, sub), encode_jpeg(img, 90, sub)
         assert b1 == b2
         dec = decode_jpeg(b1)
@@ -488,6 +488,32 @@ def test_jpeg_general_decoder_reads_gray_and_boundaries():
         bw.flush()
         decode_jpeg(_jpeg_color_fixture(bytes(bw.out), samp_y=0x33))
     with pytest.raises(NotImplementedError, match="subsampling"):
-        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="411")
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
+
+
+def test_jpeg_restart_intervals_roundtrip_and_markers():
+    """DRI/RSTn support (round-5): an encoded stream with a restart
+    interval must carry the DRI segment and actual RSTn markers, decode
+    IDENTICALLY to the marker-free stream (restart is pure re-framing),
+    and reject a stream whose RSTn sequence number is wrong."""
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack([y * 3 + 7, x * 2, y + x], axis=-1).clip(0, 255).astype(
+        np.uint8
+    )
+    plain = encode_jpeg(img, 90, "420")
+    rst = encode_jpeg(img, 90, "420", restart_interval=1)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI present
+    assert b"\xff\xd0" in rst  # at least RST0 in the entropy stream
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+    # corrupt the first RSTn's sequence number -> decoder must notice
+    i = rst.index(b"\xff\xd0")
+    bad = rst[:i + 1] + bytes([0xD5]) + rst[i + 2:]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bad)
+    # the strict grayscale parser keeps its documented DRI raise
+    with pytest.raises(NotImplementedError, match="restart"):
+        g = encode_jpeg_gray(img[..., 0])
+        spliced = g[:2] + b"\xff\xdd\x00\x04\x00\x02" + g[2:]
+        decode_jpeg_gray(spliced)
