@@ -769,6 +769,342 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _jpeg_build_huffman(freq) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies
+    (T.81 K.2, the exact three-procedure spec algorithm): returns
+    (BITS[16], HUFFVAL) ready for a DHT segment. The reserved
+    pseudo-symbol 256 gets a nonzero count so no real symbol is assigned
+    the all-ones code (its prefix would be indistinguishable from the
+    1-bit flush padding)."""
+    freq = list(freq) + [1]  # symbol 256 reserved
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # v1 = least-frequency symbol (ties -> LARGEST value), v2 = next
+        live = [i for i in range(257) if freq[i] > 0]
+        if len(live) < 2:
+            break
+        live.sort(key=lambda i: (freq[i], -i))
+        v1, v2 = live[0], live[1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    i = 32  # K.2 adjust_bits: fold code lengths > 16 back under the limit
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16  # drop the reserved symbol's codepoint (largest length in use)
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i:
+        bits[i] -= 1
+    huffval = [
+        s for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s] > 0
+    ]
+    return bits[1:17], huffval
+
+
+class _JpegScanStats:
+    """Pass-1 emitter: count Huffman symbols per table slot, drop bits."""
+
+    def __init__(self):
+        self.freq: dict[tuple[int, int], list[int]] = {}
+
+    def symbol(self, slot, sym) -> None:
+        self.freq.setdefault(slot, [0] * 256)[sym] += 1
+
+    def bits(self, v, n) -> None:
+        pass
+
+
+class _JpegScanWriter:
+    """Pass-2 emitter: real entropy output through the shared bit writer."""
+
+    def __init__(self, bw, codes):
+        self.bw, self.codes = bw, codes
+
+    def symbol(self, slot, sym) -> None:
+        code, ln = self.codes[slot][sym]
+        self.bw.put(code, ln)
+
+    def bits(self, v, n) -> None:
+        if n:
+            self.bw.put(v, n)
+
+
+class _ProgACState:
+    """Cross-block AC-scan state (G.1.2.2-3): the pending end-of-band run
+    and TWO correction-bit buffers with different flush points, exactly
+    the BE/BR split the decoder's read order demands — ``bebuf`` holds
+    bits belonging to blocks folded into the pending EOB run (the decoder
+    reads them right after the EOBn symbol's extra bits), ``brbuf`` holds
+    bits for already-nonzero coefficients passed in the CURRENT block
+    since the last emitted symbol (the decoder reads them while advancing
+    after that symbol's sign bit)."""
+
+    def __init__(self, emit, slot):
+        self.emit, self.slot = emit, slot
+        self.eobrun = 0
+        self.bebuf: list[int] = []  # bits tied to the pending EOB run
+        self.brbuf: list[int] = []  # current-block bits since last symbol
+
+    def emit_brbuf(self) -> None:
+        for b in self.brbuf:
+            self.emit.bits(b, 1)
+        self.brbuf = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.emit.symbol(self.slot, n << 4)
+            if n:
+                self.emit.bits(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+            for b in self.bebuf:
+                self.emit.bits(b, 1)
+            self.bebuf = []
+
+    def end_block(self) -> None:
+        """Fold the rest of the current block into the EOB run; its
+        pending correction bits move to the run's buffer."""
+        self.eobrun += 1
+        self.bebuf += self.brbuf
+        self.brbuf = []
+        if self.eobrun == 0x7FFF:  # EOB14 ceiling (G.1.2.2)
+            self.flush_eob()
+
+
+def _prog_ac_first_block(st: _ProgACState, zz, ss, se, al) -> None:
+    """One block of an AC FIRST scan (Ah=0): run/size code the
+    point-transformed (sign-magnitude >> Al) band with EOB-run
+    aggregation across blocks."""
+    band = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        band.append(-t if v < 0 else t)
+    last = -1
+    for i, t in enumerate(band):
+        if t:
+            last = i
+    if last < 0:
+        st.end_block()
+        return
+    st.flush_eob()
+    emit, slot = st.emit, st.slot
+    r = 0
+    for i in range(last + 1):
+        t = band[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            emit.symbol(slot, 0xF0)  # ZRL
+            r -= 16
+        cat = _jpeg_category(t)
+        emit.symbol(slot, (r << 4) | cat)
+        emit.bits(_jpeg_magnitude(t, cat), cat)
+        r = 0
+    if last < se - ss:
+        st.end_block()
+
+
+def _prog_ac_refine_block(st: _ProgACState, zz, ss, se, al) -> None:
+    """One block of an AC REFINEMENT scan — the G.1.2.3 correction-bit
+    algorithm: newly-significant coefficients are coded as run/1 with a
+    sign bit, already-nonzero coefficients contribute one buffered
+    correction bit each, and fully-refined tails fold into the EOB
+    run."""
+    emit, slot = st.emit, st.slot
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # last newly-significant position; ZRLs beyond it fold
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eob()
+            emit.symbol(slot, 0xF0)
+            r -= 16
+            st.emit_brbuf()
+        if t > 1:  # history coefficient: one correction bit, buffered
+            st.brbuf.append(t & 1)
+            continue
+        st.flush_eob()
+        emit.symbol(slot, (r << 4) | 1)
+        emit.bits(0 if int(zz[k]) < 0 else 1, 1)
+        r = 0
+        st.emit_brbuf()
+    if r > 0 or st.brbuf:
+        st.end_block()
+
+
+def _jpeg_prog_scan_script(comp_ids: list[int]) -> list[tuple]:
+    """Default scan script: (component ids, Ss, Se, Ah, Al) per scan.
+    Exercises every progressive scan kind — interleaved DC first +
+    refinement, split spectral bands, and two successive-approximation
+    levels on the AC coefficients."""
+    if len(comp_ids) == 1:
+        c = comp_ids
+        return [
+            (c, 0, 0, 0, 1),
+            (c, 1, 5, 0, 2), (c, 6, 63, 0, 2),
+            (c, 1, 5, 2, 1), (c, 6, 63, 2, 1),
+            (c, 0, 0, 1, 0),
+            (c, 1, 5, 1, 0), (c, 6, 63, 1, 0),
+        ]
+    dc = (comp_ids, 0, 0, 0, 1)
+    firsts = [([c], 1, 63, 0, 1) for c in comp_ids]
+    refines = [([c], 1, 63, 1, 0) for c in comp_ids]
+    return [dc] + firsts + [(comp_ids, 0, 0, 1, 0)] + refines
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "420",
+) -> bytes:
+    """uint8 image -> progressive (SOF2) JPEG bytes — the dominant web
+    delivery variant. Same DCT/quantization as the baseline encoder (a
+    progressive file holds the SAME coefficients, spread across scans),
+    so `decode_jpeg(encode_jpeg_progressive(x))` must equal
+    `decode_jpeg(encode_jpeg(x))` exactly — the cross-check the tests
+    pin. Huffman tables are per-scan optimal (K.2 two-pass: count
+    symbols, build the table, emit DHT right before each SOS — EOBn
+    symbols are not in the K.3 baseline tables, so progressive REQUIRES
+    custom tables)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        ql = _jpeg_quality_scale(quality).reshape(8, 8)
+        pix = np.pad(
+            img, ((0, -h % 8), (0, -w % 8)), mode="edge"
+        ).astype(np.float64)
+        zz = {1: _jpeg_zz_blocks(pix - 128.0, ql)}
+        meta = [(1, 1, 1, 0)]
+        qtabs = {0: ql}
+    else:
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+        factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+        if subsampling not in factors:
+            raise NotImplementedError(
+                f"subsampling {subsampling!r} (420/422/444)"
+            )
+        h, w = img.shape[:2]
+        sh, sv = factors[subsampling]
+        ql = _jpeg_quality_scale(quality).reshape(8, 8)
+        qc = _jpeg_quality_scale(quality, _JPEG_STD_CHROMA_Q).reshape(8, 8)
+        y, cb, cr = _rgb_to_ycbcr(
+            np.pad(
+                img, ((0, -h % (8 * sv)), (0, -w % (8 * sh)), (0, 0)),
+                mode="edge",
+            )
+        )
+        H, W = y.shape
+        if sh > 1 or sv > 1:
+            cb = cb.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
+            cr = cr.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
+        zz = {
+            1: _jpeg_zz_blocks(y - 128.0, ql),
+            2: _jpeg_zz_blocks(cb - 128.0, qc),
+            3: _jpeg_zz_blocks(cr - 128.0, qc),
+        }
+        meta = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        qtabs = {0: ql, 1: qc}
+
+    comp_ids = [cid for cid, _, _, _ in meta]
+    slot_of = {cid: (0 if cid == 1 else 1) for cid in comp_ids}
+
+    def run_scan(emit, sc_ids, ss, se, ah, al):
+        units = _jpeg_scan_blocks(meta, sc_ids, h, w)
+        prev = {cid: 0 for cid in sc_ids}
+        states = {
+            cid: _ProgACState(emit, (1, slot_of[cid])) for cid in sc_ids
+        }
+        for unit in units:
+            for cid, by, bx in unit:
+                blk = zz[cid][by, bx]
+                if ss == 0 and ah == 0:
+                    v = int(blk[0]) >> al  # DC point transform: arithmetic
+                    diff = v - prev[cid]
+                    prev[cid] = v
+                    cat = _jpeg_category(diff)
+                    emit.symbol((0, slot_of[cid]), cat)
+                    emit.bits(_jpeg_magnitude(diff, cat), cat)
+                elif ss == 0:
+                    emit.bits((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _prog_ac_first_block(states[cid], blk, ss, se, al)
+                else:
+                    _prog_ac_refine_block(states[cid], blk, ss, se, al)
+        for st in states.values():
+            st.flush_eob()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    dqt = b""
+    for tq in sorted(qtabs):
+        dqt += bytes([tq]) + bytes(
+            qtabs[tq].reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8)
+        )
+    out += seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(meta))
+    for cid, hi, vi, tq in meta:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += seg(0xFFC2, sof)  # SOF2 = progressive DCT, Huffman
+
+    for sc_ids, ss, se, ah, al in _jpeg_prog_scan_script(comp_ids):
+        stats = _JpegScanStats()
+        run_scan(stats, sc_ids, ss, se, ah, al)
+        codes = {}
+        dht = b""
+        for slot in sorted(stats.freq):
+            bits, vals = _jpeg_build_huffman(stats.freq[slot])
+            codes[slot] = _jpeg_canonical_codes(bits, vals)
+            cls, tid = slot
+            dht += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        if dht:
+            out += seg(0xFFC4, dht)
+        bw = _JpegBitWriter()
+        run_scan(_JpegScanWriter(bw, codes), sc_ids, ss, se, ah, al)
+        bw.flush()
+        sos = bytes([len(sc_ids)])
+        for cid in sc_ids:
+            tid = slot_of[cid]
+            sos += bytes([cid, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline-sequential JPEG bytes -> (h, w) gray or (h, w, 3) RGB.
 
@@ -792,6 +1128,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     ri = 0  # restart interval in MCUs (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # progressive accumulator
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -826,7 +1164,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bits, list(body[i + 17:i + 17 + n])
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -841,28 +1180,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} (1-2 only)"
                     )
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG unsupported "
-                "(baseline sequential only)"
+                "arithmetic/hierarchical/lossless JPEG unsupported "
+                "(baseline sequential + progressive DCT only)"
             )
         elif marker == 0xDD:  # DRI — restart every Ri MCUs
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            scan_tabs = {}
-            for c in range(ns):
-                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tabs[cs] = (huff[(0, tdta >> 4)], huff[(1, tdta & 0xF)])
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved color) baseline JPEG"
+            if not progressive:
+                scan_tabs = {}
+                for c in range(ns):
+                    cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                    scan_tabs[cs] = (
+                        huff[(0, tdta >> 4)], huff[(1, tdta & 0xF)]
+                    )
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved color) baseline JPEG"
+                    )
+                return _jpeg_decode_mcus(
+                    data[pos:], h, w, comps, qt, scan_tabs, ri
                 )
-            return _jpeg_decode_mcus(
-                data[pos:], h, w, comps, qt, scan_tabs, ri
+            # progressive: accumulate this scan's coefficient bits, keep
+            # walking the marker stream (many scans per frame)
+            sc = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if coefs is None:
+                hmax = max(hi for _, hi, _, _ in comps)
+                vmax = max(vi for _, _, vi, _ in comps)
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = {
+                    cid: np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int64)
+                    for cid, hi, vi, _ in comps
+                }
+            pos += _jpeg_decode_scan_prog(
+                data[pos:], h, w, comps, coefs, huff, sc, ss, se, ah, al, ri
             )
         # else: APPn / COM — skipped
+    if progressive and coefs is not None:
+        return _jpeg_reconstruct(coefs, comps, qt, h, w)
     raise ValueError("no SOS marker found")
 
 
@@ -923,6 +1284,176 @@ def _jpeg_decode_mcus(scan, h, w, comps, qt, scan_tabs,
                             cid, dc_tab, ac_tab
                         )
 
+    return _jpeg_reconstruct(coefs, comps, qt, h, w)
+
+
+def _jpeg_scan_blocks(comps, sc_ids, h, w):
+    """Block visit order for one scan (T.81 A.2): a list of
+    (cid, by, bx) per MCU-or-block unit, plus the unit count.
+
+    Interleaved scans (>1 component — progressive DC bands) follow MCU
+    geometry over the PADDED block grid, dummy blocks included. A
+    single-component scan is non-interleaved: raster order over the
+    component's OWN dimensions ceil(ceil(w*hi/hmax)/8) x
+    ceil(ceil(h*vi/vmax)/8) — the MCU padding columns/rows are never
+    coded (A.2.2)."""
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    byid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    units = []
+    if len(sc_ids) > 1:
+        for my in range(mcy):
+            for mx in range(mcx):
+                unit = []
+                for cid in sc_ids:
+                    hi, vi = byid[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            unit.append((cid, my * vi + v, mx * hi + hh))
+                units.append(unit)
+    else:
+        cid = sc_ids[0]
+        hi, vi = byid[cid]
+        cbw = ((w * hi + hmax - 1) // hmax + 7) // 8
+        cbh = ((h * vi + vmax - 1) // vmax + 7) // 8
+        for by in range(cbh):
+            for bx in range(cbw):
+                units.append([(cid, by, bx)])
+    return units
+
+
+def _jpeg_decode_scan_prog(
+    scan, h, w, comps, coefs, huff, sc, ss, se, ah, al, ri
+) -> int:
+    """Entropy-decode ONE progressive scan (T.81 G.2) into the shared
+    per-component zigzag coefficient accumulators; returns the number of
+    entropy bytes consumed so the caller can resume marker parsing.
+
+    Four scan kinds: DC first (Ah=0, Ss=0 — Huffman DIFF of the
+    point-transformed DC, interleaved), DC refinement (one raw bit per
+    block, OR-ed at bit Al), AC first (Ah=0, Ss>=1 — run/size coding
+    within the spectral band plus EOBn end-of-band runs), and AC
+    refinement (G.1.2.3: correction bits for already-nonzero
+    coefficients interleaved with newly-significant +-1 coefficients and
+    EOB runs). DRI restart intervals byte-align on RSTn and reset both
+    the DC predictors and the EOB run."""
+    br = _JpegBitReader(scan)
+    sc_ids = [cs for cs, _ in sc]
+    tabs = dict(sc)  # cid -> (td << 4) | ta
+    units = _jpeg_scan_blocks(comps, sc_ids, h, w)
+    prev = {cid: 0 for cid in sc_ids}
+    eobrun = 0
+    # tables resolved lazily: refinement scans may reference table ids
+    # that were never defined (no Huffman symbols are read)
+    dc_tab = {cid: huff.get((0, tabs[cid] >> 4)) for cid in sc_ids}
+    ac_tab = {cid: huff.get((1, tabs[cid] & 0xF)) for cid in sc_ids}
+
+    def dc_first(cid, zz):
+        cat = _jpeg_read_symbol(br, dc_tab[cid])
+        prev[cid] += _jpeg_extend(br.bits(cat), cat) if cat else 0
+        zz[0] = prev[cid] << al
+
+    def dc_refine(cid, zz):
+        if br.bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first(cid, zz):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_read_symbol(br, ac_tab[cid])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of (1 << r) + extra bands
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            zz[k] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(zz, k):
+        """Correction bit for a history-nonzero coefficient (G.1.2.3)."""
+        c = int(zz[k])
+        if br.bit() and not (c & p1):
+            zz[k] = c + (p1 if c >= 0 else m1)
+
+    def ac_refine(cid, zz):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_read_symbol(br, ac_tab[cid])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size != 1")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if int(zz[k]) != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:
+        step = dc_first if ah == 0 else dc_refine
+    else:
+        if len(sc_ids) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        step = ac_first if ah == 0 else ac_refine
+
+    for n, unit in enumerate(units):
+        if ri and n and n % ri == 0:
+            br.restart((n // ri - 1) % 8)
+            for cid in prev:
+                prev[cid] = 0
+            eobrun = 0
+        for cid, by, bx in unit:
+            step(cid, coefs[cid][by, bx])
+    return br.pos
+
+
+def _jpeg_reconstruct(coefs, comps, qt, h, w) -> np.ndarray:
+    """Zigzag coefficient arrays -> pixels: dequantize, batch-IDCT per
+    component (one einsum), JFIF sample-replication upsample, BT.601
+    color conversion. Shared by the baseline (one scan) and progressive
+    (coefficients accumulated across scans) decoders — identical
+    coefficients therefore reconstruct to identical pixels by
+    construction."""
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
     planes = []
     for cid, hi, vi, tq in comps:
         zz = coefs[cid]

@@ -7,16 +7,18 @@ Three REAL container formats run end-to-end on stdlib-only codecs
 (zlib inflate + full filter-set unfiltering + CRC checks), WAV (stdlib
 ``wave`` PCM) and baseline-sequential JPEG (pure-numpy T.81
 DCT + Huffman; grayscale round 4, YCbCr color with 4:2:0/4:4:4
-interleaved scans round 5). :func:`media_table` emits most image/audio
-payloads in those containers — including COLOR 4:2:0 jpegs, the
-dominant real-corpus variant — so the registry entries decode genuine
-formats every run; jpeg rows are thumbnail-sized (<= 64 px a side)
+interleaved scans + PROGRESSIVE (SOF2, spectral selection + successive
+approximation) round 5). :func:`media_table` emits most image/audio
+payloads in those containers — including COLOR 4:2:0 jpegs (the
+dominant camera variant) and progressive color jpegs (the dominant web
+delivery variant) — so the registry entries decode genuine formats
+every run; jpeg rows are thumbnail-sized (<= 64 px a side)
 because the entropy coder is a python loop — a real cluster swaps
 libjpeg in at the same decode call site. The ``x-fake`` format (raw
 ``np.frombuffer``) remains for the stub path, and the codec's own
-NotImplementedError boundary is now INSIDE the format (progressive/
-arithmetic/hierarchical coding, restart intervals, sampling factors
-over 2), not the format or its color/subsampling variants. Everything else is
+NotImplementedError boundary is now INSIDE the format (arithmetic/
+hierarchical coding, sampling factors over 2), not the format or its
+color/subsampling/progressive variants. Everything else is
 production-shaped: binary Arrow transfer, struct metadata, batch
 processing, binary-in/binary-out resize (PNG in → PNG out, JPEG in →
 JPEG out), per-row frame sampling.
@@ -41,6 +43,7 @@ from ner_spark.codecs import (
     decode_wav,
     encode_jpeg,
     encode_jpeg_gray,
+    encode_jpeg_progressive,
     encode_png,
     encode_wav,
 )
@@ -118,18 +121,25 @@ def media_table(documents: DataFrame) -> DataFrame:
                         encode_png(raw.reshape(meta["height"], meta["width"]))
                     )
                 elif meta["format"] == "jpeg":
-                    if doc_id % 24 == 3:
-                        # color 4:2:0 row — the dominant real-corpus
-                        # variant (round-5): 3-channel payload from a
-                        # FRESH doc_id-seeded stream (independent of the
-                        # `raw` draw above, so the golden recompute can
-                        # regenerate it without replaying that draw)
+                    if doc_id % 24 == 3 or doc_id % 48 == 15:
+                        # color rows — 3-channel payload from a FRESH
+                        # doc_id-seeded stream (independent of the `raw`
+                        # draw above, so the golden recompute can
+                        # regenerate it without replaying that draw).
+                        # % 24 == 3: baseline 4:2:0, the dominant camera
+                        # variant (round 5); % 48 == 15: PROGRESSIVE
+                        # 4:2:0 (SOF2), the dominant web delivery
+                        # variant (round 5) — same decode call site
                         rgb = np.random.default_rng(int(doc_id)).integers(
                             0, 256,
                             meta["height"] * meta["width"] * 3,
                             dtype=np.uint8,
                         ).reshape(meta["height"], meta["width"], 3)
-                        payloads.append(encode_jpeg(rgb, subsampling="420"))
+                        enc = (
+                            encode_jpeg_progressive
+                            if doc_id % 48 == 15 else encode_jpeg
+                        )
+                        payloads.append(enc(rgb, subsampling="420"))
                     else:
                         payloads.append(
                             encode_jpeg_gray(

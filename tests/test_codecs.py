@@ -517,3 +517,209 @@ def test_jpeg_restart_intervals_roundtrip_and_markers():
         g = encode_jpeg_gray(img[..., 0])
         spliced = g[:2] + b"\xff\xdd\x00\x04\x00\x02" + g[2:]
         decode_jpeg_gray(spliced)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — round 5
+# ---------------------------------------------------------------------------
+from ner_spark.codecs import (  # noqa: E402
+    _jpeg_build_huffman,
+    _jpeg_decode_table,
+    encode_jpeg_progressive,
+)
+
+
+def _prog_fixture(scans: list[bytes | tuple], h=8, w=8) -> bytes:
+    """Hand-assemble a minimal single-component PROGRESSIVE JPEG per
+    T.81 (SOI, all-1 DQT, SOF2, K.3 DC/AC DHTs, then one SOS per scan)
+    — independent of encode_jpeg_progressive's segment writer. Each
+    scan is (Ss, Se, Ah, Al, entropy_bytes)."""
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">HH", 0xFFDB, 67) + bytes([0]) + bytes([1] * 64)
+    out += struct.pack(">HH", 0xFFC2, 11) + struct.pack(">BHHB", 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += struct.pack(">HH", 0xFFC4, 19 + len(_JPEG_DC_VALS))
+    out += bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    out += struct.pack(">HH", 0xFFC4, 19 + len(_JPEG_AC_VALS))
+    out += bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    for ss, se, ah, al, entropy in scans:
+        out += struct.pack(">HH", 0xFFDA, 8)
+        out += bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_spec_fixture_dc_then_ac():
+    """Hand-built progressive stream checked against spec arithmetic:
+    scan 1 codes DC category 6 bits 101000 (EXTEND -> +40) at Al=0,
+    scan 2 codes the empty 1..63 AC band as a single EOB0. Identical
+    coefficients to the baseline DC-only fixture, so the same flat
+    round(40/8) + 128 = 133 block must come out — proving the
+    progressive path's scan sequencing, not our encoder, against T.81."""
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    code, ln = dc[6]
+    bw.put(code, ln)
+    bw.put(40, 6)
+    bw.flush()
+    s1 = bytes(bw.out)
+    bw = _JpegBitWriter()
+    code, ln = ac[0x00]  # EOB0: the whole 1..63 band is zero
+    bw.put(code, ln)
+    bw.flush()
+    s2 = bytes(bw.out)
+    got = decode_jpeg(_prog_fixture([(0, 0, 0, 0, s1), (1, 63, 0, 0, s2)]))
+    assert np.array_equal(got, np.full((8, 8), 133, np.uint8)), got[0, :4]
+
+
+def test_jpeg_progressive_spec_fixture_spectral_bands():
+    """Split spectral selection: DC scan (-5), band 1..5 carrying +1 at
+    zigzag 1, band 6..63 empty. Coefficients equal the baseline
+    negative-DC fixture, so the decoder must reproduce the same
+    independently-derived IDCT expectation."""
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    code, ln = dc[3]
+    bw.put(code, ln)
+    bw.put(0b010, 3)  # EXTEND(2, 3) = -5
+    bw.flush()
+    s_dc = bytes(bw.out)
+    bw = _JpegBitWriter()
+    code, ln = ac[0x01]  # run 0, size 1 at zigzag position 1
+    bw.put(code, ln)
+    bw.put(1, 1)  # +1
+    code, ln = ac[0x00]  # EOB for the rest of the 1..5 band
+    bw.put(code, ln)
+    bw.flush()
+    s_low = bytes(bw.out)
+    bw = _JpegBitWriter()
+    code, ln = ac[0x00]
+    bw.put(code, ln)
+    bw.flush()
+    s_high = bytes(bw.out)
+    got = decode_jpeg(_prog_fixture(
+        [(0, 0, 0, 0, s_dc), (1, 5, 0, 0, s_low), (6, 63, 0, 0, s_high)]
+    ))
+    n = np.arange(8)
+    basis1 = np.sqrt(2 / 8) * np.cos((2 * n + 1) * 1 * np.pi / 16)
+    exp = np.clip(np.round(
+        -5 / 8 + np.tile(basis1 / np.sqrt(8), (8, 1)) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got, exp), (got[0], exp[0])
+
+
+def test_jpeg_progressive_spec_fixture_successive_approximation():
+    """Successive approximation on DC: first scan at Al=1 codes the
+    point-transformed value 3 (category 2, bits 11 -> +3, contributing
+    3 << 1 = 6), the refinement scan at Al=0 is ONE raw bit (1) that
+    ORs in the low bit -> DC becomes 7. Expected flat block:
+    round(7/8) + 128 = 129. The refinement scan uses no Huffman table
+    at all — exactly the raw-bit path G.1.2.1 specifies."""
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    bw = _JpegBitWriter()
+    code, ln = dc[2]
+    bw.put(code, ln)
+    bw.put(0b11, 2)  # EXTEND(3, 2) = +3
+    bw.flush()
+    s1 = bytes(bw.out)
+    bw = _JpegBitWriter()
+    bw.put(1, 1)  # refinement bit for the single block
+    bw.flush()
+    s2 = bytes(bw.out)
+    got = decode_jpeg(_prog_fixture([(0, 0, 0, 1, s1), (0, 0, 1, 0, s2)]))
+    assert np.array_equal(got, np.full((8, 8), 129, np.uint8)), got[0, :4]
+
+
+def test_jpeg_progressive_equals_baseline_decode_exactly():
+    """The cross-check that pins BOTH sides: a progressive file carries
+    the same quantized coefficients as the baseline file, spread over
+    DC/AC first + refinement scans, so decoding each must give
+    byte-identical pixels (shared dequant/IDCT tail). Covers gray and
+    all three color subsamplings at odd sizes."""
+    rng = np.random.default_rng(11)
+    g = (np.linspace(0, 255, 37 * 29).reshape(37, 29)
+         + rng.integers(0, 40, (37, 29))).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=80)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=80)),
+    )
+    c = rng.integers(0, 256, (41, 35, 3)).astype(np.uint8)
+    c[:, :, 0] = np.linspace(0, 255, 35)[None, :]
+    for sub in ("420", "422", "444"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(c, quality=75, subsampling=sub)),
+            decode_jpeg(encode_jpeg_progressive(c, quality=75, subsampling=sub)),
+        ), sub
+
+
+def test_jpeg_progressive_eob_runs_and_determinism():
+    """A sparse image makes the encoder aggregate EOBn runs (> EOB0)
+    across blocks; the stream must still decode to exactly the baseline
+    pixels, and encoding must be byte-deterministic."""
+    s = np.full((64, 64), 128, np.uint8)
+    s[10, 12], s[50, 33] = 200, 60
+    p1 = encode_jpeg_progressive(s, quality=85)
+    p2 = encode_jpeg_progressive(s, quality=85)
+    assert p1 == p2
+    assert np.array_equal(
+        decode_jpeg(p1), decode_jpeg(encode_jpeg(s, quality=85))
+    )
+
+
+def test_jpeg_progressive_randomized_parity_sweep():
+    """Randomized sizes/qualities/subsamplings: progressive and baseline
+    decodes must agree EXACTLY on every case (the two entropy layouts
+    carry identical coefficients)."""
+    for t in range(12):
+        rng = np.random.default_rng(100 + t)
+        hh, ww = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        q = int(rng.integers(30, 96))
+        if t % 4 == 0:
+            img = rng.integers(0, 256, (hh, ww)).astype(np.uint8)
+            a = decode_jpeg(encode_jpeg(img, quality=q))
+            b = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        else:
+            img = rng.integers(0, 256, (hh, ww, 3)).astype(np.uint8)
+            sub = ("420", "422", "444")[t % 3]
+            a = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            b = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=sub)
+            )
+        assert np.array_equal(a, b), (t, hh, ww, q)
+
+
+def test_jpeg_build_huffman_is_valid_and_invertible():
+    """K.2 table builder: for random frequency profiles the produced
+    (BITS, HUFFVAL) must satisfy the Kraft inequality STRICTLY (the
+    reserved symbol guarantees the all-ones code stays unused), stay
+    within 16-bit codes, cover exactly the nonzero-frequency symbols,
+    and canonical-encode/decode as inverses."""
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n_sym = int(rng.integers(1, 60))
+        freq = [0] * 256
+        for s in rng.integers(0, 256, n_sym):
+            freq[int(s)] += int(rng.integers(1, 1000))
+        bits, vals = _jpeg_build_huffman(freq)
+        assert sum(bits) == len(vals) == sum(1 for f in freq if f)
+        assert sorted(vals) == [i for i, f in enumerate(freq) if f]
+        kraft = sum(n / (1 << (i + 1)) for i, n in enumerate(bits))
+        assert kraft < 1.0, kraft
+        codes = _jpeg_canonical_codes(bits, vals)
+        table = _jpeg_decode_table(bits, vals)
+        for sym, (code, ln) in codes.items():
+            assert ln <= 16
+            assert table[(code, ln)] == sym
+
+
+def test_jpeg_progressive_strict_gray_parser_still_raises():
+    """decode_jpeg_gray remains the strict baseline-only parser: SOF2
+    streams keep raising there while the general decoder accepts them."""
+    img = np.full((8, 8), 90, np.uint8)
+    prog = encode_jpeg_progressive(img)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(prog)
+    assert decode_jpeg(prog).shape == (8, 8)

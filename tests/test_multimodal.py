@@ -43,9 +43,14 @@ def test_media_schema_and_payload_sizes(media):
         elif fmt == "jpeg":  # real (lossy) container — shape must hold
             a = decode_jpeg(bytes(r.payload))
             assert a.shape[:2] == (r.meta["height"], r.meta["width"])
-            if a.ndim == 3:  # color 4:2:0 rows (doc_id % 24 == 3)
-                assert a.shape[2] == 3 and r.doc_id % 24 == 3
+            if a.ndim == 3:  # color rows: baseline (doc_id % 24 == 3)
+                # or progressive/SOF2 (doc_id % 48 == 15)
+                assert a.shape[2] == 3 and (
+                    r.doc_id % 24 == 3 or r.doc_id % 48 == 15
+                )
                 seen_color_jpeg = True
+                if r.doc_id % 48 == 15:
+                    assert b"\xff\xc2" in bytes(r.payload)  # SOF2 marker
             assert max(a.shape[:2]) < 64  # thumbnail-capped fixture rows
         else:
             assert fmt == "wav"
@@ -121,3 +126,19 @@ def test_empty_input(spark):
     m = M.media_table(empty)
     assert M.image_features(m).count() == 0
     assert M.frame_sample(m).count() == 0
+
+
+def test_media_progressive_jpeg_slice(media):
+    """The doc_id % 48 == 15 slice must emit PROGRESSIVE (SOF2) color
+    jpegs — the dominant web-delivery variant (round 5) — decodable by
+    the general decoder through the same call site as baseline rows."""
+    from ner_spark.codecs import decode_jpeg
+
+    rows = media.where("doc_id % 48 = 15").limit(2).toPandas()
+    assert len(rows) >= 1  # non-vacuous: the slice exists at this sf
+    for _, r in rows.iterrows():
+        p = bytes(r.payload)
+        assert b"\xff\xc2" in p  # SOF2 frame header
+        a = decode_jpeg(p)
+        assert a.ndim == 3
+        assert a.shape[:2] == (r.meta["height"], r.meta["width"])

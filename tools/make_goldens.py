@@ -267,13 +267,18 @@ def main() -> None:
             decode_jpeg_gray,
             encode_jpeg,
             encode_jpeg_gray,
+            encode_jpeg_progressive,
         )
 
         def _is_jpeg(doc_id: int) -> bool:
             return doc_id % 12 == 3  # media_table's format rule
 
         def _is_color(doc_id: int) -> bool:
-            return doc_id % 24 == 3  # the color-4:2:0 slice (round 5)
+            # baseline color 4:2:0 slice OR progressive color slice
+            return doc_id % 24 == 3 or doc_id % 48 == 15
+
+        def _is_progressive(doc_id: int) -> bool:
+            return doc_id % 48 == 15  # the SOF2 slice (round 5)
 
         def _luma(a: np.ndarray) -> np.ndarray:
             # decode_image's integer collapse, replicated independently
@@ -288,7 +293,11 @@ def main() -> None:
                 rgb = rng.integers(
                     0, 256, h0 * w0 * 3, dtype=np.uint8
                 ).reshape(h0, w0, 3)
-                return _luma(decode_jpeg(encode_jpeg(rgb, subsampling="420")))
+                enc = (
+                    encode_jpeg_progressive
+                    if _is_progressive(doc_id) else encode_jpeg
+                )
+                return _luma(decode_jpeg(enc(rgb, subsampling="420")))
             raw = rng.integers(0, 256, w0 * h0, dtype=np.uint8)
             return decode_jpeg_gray(encode_jpeg_gray(raw.reshape(h0, w0)))
 
