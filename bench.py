@@ -1128,7 +1128,12 @@ def run_scaling_cluster() -> None:
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
                 "--py-files", zip_path,
                 # executor heap sized under the worker's mem_mb budget;
-                # IDENTICAL per executor across the two configs
+                # IDENTICAL per executor across the two configs. Kept
+                # deliberately vanilla otherwise: a locality.wait=0 +
+                # minRegisteredResourcesRatio=1.0 variant was measured
+                # (2026-08-21) and landed within single-rep noise,
+                # slightly WORSE on the 4-executor leg — see the
+                # multi-executor scaling section of BENCH/BASELINE.md
                 "--conf", f"spark.executor.memory={mem_mb - 1024}m",
                 os.path.join(_ROOT, "bench.py"),
                 "--kg-only", "--master", master, "--json-out", out,
@@ -1157,6 +1162,13 @@ def run_scaling_cluster() -> None:
         "unit": "ratio",
         "executor_shape": {"cores": cores, "memory_mb": mem_mb},
         "submit": "spark-submit --py-files ner_spark.zip (local-cluster)",
+        # storage emulation in effect (see ner_spark.session docstring):
+        # tmpfs shuffle/warehouse stands in for the per-NODE disks a real
+        # cluster scales with; one shared virtual disk penalizes exactly
+        # the larger config (measured: 306s -> 227s on the 8-executor leg)
+        "local_dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR") or "default",
+        "warehouse_dir": os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+        or "default",
         f"executors{lo}": results[lo],
         f"executors{hi}": results[hi],
         "repeats": repeat,
