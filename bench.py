@@ -836,44 +836,29 @@ def main() -> None:
     # final stdout line past the driver's output-tail window, so the
     # driver recorded "parsed": null. The full payload stays in
     # BENCH/scaling.json, referenced by path.
-    scaling_json = os.path.join(_ROOT, "BENCH", "scaling.json")
-    if os.path.exists(scaling_json):
+    # thread-mode (--scaling) and multi-executor (--scaling-cluster)
+    # summaries attach identically: compact scalars + a file pointer
+    for key, fname in (
+        ("scaling", "scaling.json"),
+        ("scaling_cluster", "scaling_cluster.json"),
+    ):
+        path = os.path.join(_ROOT, "BENCH", fname)
+        if not os.path.exists(path):
+            continue
         try:
-            with open(scaling_json) as f:
+            with open(path) as f:
                 sc = json.load(f)
             per_cfg = {
                 k: v["turns_per_sec"]
                 for k, v in sc.items()
                 if isinstance(v, dict) and "turns_per_sec" in v
             }
-            result["scaling"] = {
+            result[key] = {
                 "metric": sc.get("metric"),
                 "efficiency": sc.get("value"),
                 "turns_per_sec": per_cfg,
                 "size": sc.get("size"),
-                "detail": "BENCH/scaling.json",
-            }
-        except (OSError, ValueError, KeyError, TypeError):
-            pass
-    # multi-executor (spark-submit --py-files, local-cluster) variant,
-    # written by `python bench.py --scaling-cluster` — same compact-scalar
-    # treatment
-    cluster_json = os.path.join(_ROOT, "BENCH", "scaling_cluster.json")
-    if os.path.exists(cluster_json):
-        try:
-            with open(cluster_json) as f:
-                sc = json.load(f)
-            per_cfg = {
-                k: v["turns_per_sec"]
-                for k, v in sc.items()
-                if isinstance(v, dict) and "turns_per_sec" in v
-            }
-            result["scaling_cluster"] = {
-                "metric": sc.get("metric"),
-                "efficiency": sc.get("value"),
-                "turns_per_sec": per_cfg,
-                "size": sc.get("size"),
-                "detail": "BENCH/scaling_cluster.json",
+                "detail": f"BENCH/{fname}",
             }
         except (OSError, ValueError, KeyError, TypeError):
             pass
@@ -894,9 +879,14 @@ def main() -> None:
     if a.json_out:
         with open(a.json_out, "w") as f:
             f.write(json.dumps(full))
-    os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(_ROOT, "BENCH", "last_full.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    # committed per-round snapshot — FULL runs only: the scaling
+    # harnesses spawn `--kg-only` subprocesses, and letting those
+    # overwrite the round record with a kg-only fragment left the repo
+    # dirty with a truncated artifact (round-5 review finding)
+    if not a.kg_only:
+        os.makedirs(os.path.join(_ROOT, "BENCH"), exist_ok=True)
+        with open(os.path.join(_ROOT, "BENCH", "last_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
     # the driver records only the last 2000 chars of stdout (BENCH_r04
     # recorded "parsed": null when the final line outgrew that window).
     # Degrade the optional attachments before risking an unparseable

@@ -391,14 +391,18 @@ def _jpeg_write_block(bw, bz, dc_codes, ac_codes, prev_dc: int) -> int:
     return prev_dc
 
 
-def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0,
+) -> bytes:
     """(h, w) uint8 -> baseline-sequential grayscale JPEG bytes.
 
     Blocks are edge-padded to 8x8 multiples; the DCT runs as one
     vectorized einsum over all blocks, only the entropy coding is a
     per-block python loop (bounded: media_table caps jpeg payloads at
     thumbnail size; a real cluster swaps in libjpeg at the same call
-    site)."""
+    site). ``restart_interval`` > 0 emits a DRI segment and a
+    byte-aligned RSTn marker (DC predictor reset) every that many
+    blocks — the single-component MCU is one block (A.2.1)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     q = _jpeg_quality_scale(quality).reshape(8, 8)
@@ -415,7 +419,13 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _JpegBitWriter()
     prev_dc = 0
-    for bz in zz:
+    for n, bz in enumerate(zz):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.flush()  # 1-pad to the byte boundary (F.1.2.3)
+            bw.out += bytes(
+                [0xFF, 0xD0 + (n // restart_interval - 1) % 8]
+            )
+            prev_dc = 0
         prev_dc = _jpeg_write_block(bw, bz, dc_codes, ac_codes, prev_dc)
     bw.flush()
 
@@ -427,6 +437,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
         0xFFDB, bytes([0]) + bytes(q.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8))
     )
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(
         0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
     )
@@ -533,6 +545,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before any marker (B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -669,26 +683,14 @@ def _jpeg_zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     )[..., _JPEG_ZIGZAG]
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "420",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 image -> baseline-sequential JPEG bytes.
-
-    (h, w) arrays delegate to the grayscale encoder; (h, w, 3) RGB
-    arrays emit the dominant real-corpus variant: JFIF YCbCr with
-    Annex K luma+chroma quant tables, K.3 luma+chroma Huffman tables,
-    and ONE interleaved scan. ``subsampling`` is "420" (2x2 box-averaged
-    chroma, MCU = 4 Y + Cb + Cr blocks), "422" (horizontal-only
-    averaging, MCU = 2 Y + Cb + Cr) or "444" (full-resolution chroma,
-    MCU = Y + Cb + Cr). ``restart_interval`` > 0 emits a DRI
-    segment and an RSTn marker (DC predictors reset) every that many
-    MCUs — the error-resilience layout real camera files use."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        return encode_jpeg_gray(img, quality)
-    if img.ndim != 3 or img.shape[2] != 3:
-        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+def _jpeg_color_planes(img: np.ndarray, quality: int, subsampling: str):
+    """Shared color-encode preamble: validate subsampling, edge-pad to
+    full MCU multiples, RGB -> YCbCr, box-average chroma by the Y
+    factors, quantize each plane to zigzag blocks. ONE implementation
+    for the baseline and progressive encoders — their exact decode
+    parity (a pinned test) depends on identical coefficients, so the
+    preamble must not be able to drift between them. Returns
+    (h, w, sh, sv, ql, qc, zzy, zzb, zzr)."""
     factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
     if subsampling not in factors:
         raise NotImplementedError(
@@ -708,9 +710,37 @@ def encode_jpeg(
     if sh > 1 or sv > 1:  # box-average chroma down by the Y factors
         cb = cb.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
         cr = cr.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
-    zzy = _jpeg_zz_blocks(y - 128.0, ql)
-    zzb = _jpeg_zz_blocks(cb - 128.0, qc)
-    zzr = _jpeg_zz_blocks(cr - 128.0, qc)
+    return (
+        h, w, sh, sv, ql, qc,
+        _jpeg_zz_blocks(y - 128.0, ql),
+        _jpeg_zz_blocks(cb - 128.0, qc),
+        _jpeg_zz_blocks(cr - 128.0, qc),
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image -> baseline-sequential JPEG bytes.
+
+    (h, w) arrays delegate to the grayscale encoder; (h, w, 3) RGB
+    arrays emit the dominant real-corpus variant: JFIF YCbCr with
+    Annex K luma+chroma quant tables, K.3 luma+chroma Huffman tables,
+    and ONE interleaved scan. ``subsampling`` is "420" (2x2 box-averaged
+    chroma, MCU = 4 Y + Cb + Cr blocks), "422" (horizontal-only
+    averaging, MCU = 2 Y + Cb + Cr) or "444" (full-resolution chroma,
+    MCU = Y + Cb + Cr). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (DC predictors reset) every that many
+    MCUs — the error-resilience layout real camera files use."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        return encode_jpeg_gray(img, quality, restart_interval)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    h, w, sh, sv, ql, qc, zzy, zzb, zzr = _jpeg_color_planes(
+        img, quality, subsampling
+    )
 
     dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1009,30 +1039,10 @@ def encode_jpeg_progressive(
     else:
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
-        factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
-        if subsampling not in factors:
-            raise NotImplementedError(
-                f"subsampling {subsampling!r} (420/422/444)"
-            )
-        h, w = img.shape[:2]
-        sh, sv = factors[subsampling]
-        ql = _jpeg_quality_scale(quality).reshape(8, 8)
-        qc = _jpeg_quality_scale(quality, _JPEG_STD_CHROMA_Q).reshape(8, 8)
-        y, cb, cr = _rgb_to_ycbcr(
-            np.pad(
-                img, ((0, -h % (8 * sv)), (0, -w % (8 * sh)), (0, 0)),
-                mode="edge",
-            )
+        h, w, sh, sv, ql, qc, zzy, zzb, zzr = _jpeg_color_planes(
+            img, quality, subsampling
         )
-        H, W = y.shape
-        if sh > 1 or sv > 1:
-            cb = cb.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
-            cr = cr.reshape(H // sv, sv, W // sh, sh).mean(axis=(1, 3))
-        zz = {
-            1: _jpeg_zz_blocks(y - 128.0, ql),
-            2: _jpeg_zz_blocks(cb - 128.0, qc),
-            3: _jpeg_zz_blocks(cr - 128.0, qc),
-        }
+        zz = {1: zzy, 2: zzb, 3: zzr}
         meta = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
         qtabs = {0: ql, 1: qc}
 
@@ -1133,6 +1143,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before any marker (B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -723,3 +723,39 @@ def test_jpeg_progressive_strict_gray_parser_still_raises():
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_gray(prog)
     assert decode_jpeg(prog).shape == (8, 8)
+
+
+def test_jpeg_gray_restart_intervals_roundtrip():
+    """Round-5 review fix: encode_jpeg with a 2-D input must HONOR
+    restart_interval (it used to drop it silently when delegating) —
+    DRI present, RSTn markers in the stream, and the general decoder
+    reproduces the marker-free pixels exactly."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    from ner_spark.codecs import encode_jpeg
+
+    plain = encode_jpeg(img, 90)
+    rst = encode_jpeg(img, 90, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+    assert b"\xff\xd0" in rst
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+    # wrong RSTn sequence number must be rejected
+    i = rst.index(b"\xff\xd0")
+    bad = rst[:i + 1] + bytes([0xD4]) + rst[i + 2:]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bad)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill
+    bytes. Both decoders must skip them (round-5 review fix: they used
+    to misparse the fill byte as a zero-length marker)."""
+    img = np.full((8, 8), 77, np.uint8)
+    data = encode_jpeg_gray(img)
+    # splice fill bytes before the DQT marker (right after SOI)
+    filled = data[:2] + b"\xff\xff" + data[2:]
+    assert np.array_equal(decode_jpeg_gray(filled), decode_jpeg_gray(data))
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(data))
+    prog = encode_jpeg_progressive(img)
+    pfill = prog[:2] + b"\xff\xff\xff" + prog[2:]
+    assert np.array_equal(decode_jpeg(pfill), decode_jpeg(prog))

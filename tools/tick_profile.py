@@ -43,7 +43,6 @@ def profile(spark, density: int, n_convs: int) -> dict:
 
         spark.dataSource.register(IcebergStreamDataSource)
         ckpt = tempfile.mkdtemp(prefix="tick_ck_")
-        out = tempfile.mkdtemp(prefix="tick_out_")
         t1 = time.perf_counter()
         q = (
             spark.readStream.format("iceberg_stream")
@@ -58,7 +57,6 @@ def profile(spark, density: int, n_convs: int) -> dict:
         drain_sec = time.perf_counter() - t1
         rows = int(sum(p["numInputRows"] for p in q.recentProgress))
         shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
         return {
             "density": density,
             "rows": len(pdf),
